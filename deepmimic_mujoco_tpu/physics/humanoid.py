@@ -1,0 +1,214 @@
+"""Programmatic humanoid3d model (the canonical DeepMimic character).
+
+Defines the same 13-body / 28-hinge / 45 kg humanoid the reference trains
+(geometry, masses, joint ranges, motor gears documented in
+/root/reference/src/mujoco/humanoid_deepmimic/envs/asset/dp_env_v3.xml),
+built directly through :class:`ModelBuilder` — no XML parsing on the hot
+path.  ``to_mjcf`` exports an equivalent MJCF string so host-side MuJoCo can
+be used for validation and rendering.
+"""
+
+from __future__ import annotations
+
+from deepmimic_mujoco_tpu.physics.inertia import BOX, CAPSULE, SPHERE
+from deepmimic_mujoco_tpu.physics.model import ModelBuilder, PhysicsModel
+
+# (name, parent, body_pos) — offsets in parent frame
+_BODIES = [
+    ("root", None, (0.0, 0.0, 0.9)),
+    ("chest", "root", (0.0, 0.0, 0.236151)),
+    ("neck", "chest", (0.0, 0.0, 0.223894)),
+    ("right_shoulder", "chest", (-0.02405, -0.18311, 0.2435)),
+    ("right_elbow", "right_shoulder", (0.0, 0.0, -0.274788)),
+    ("left_shoulder", "chest", (-0.02405, 0.18311, 0.2435)),
+    ("left_elbow", "left_shoulder", (0.0, 0.0, -0.274788)),
+    ("right_hip", "root", (0.0, -0.084887, 0.0)),
+    ("right_knee", "right_hip", (0.0, 0.0, -0.421546)),
+    ("right_ankle", "right_knee", (0.0, 0.0, -0.40987)),
+    ("left_hip", "root", (0.0, 0.084887, 0.0)),
+    ("left_knee", "left_hip", (0.0, 0.0, -0.421546)),
+    ("left_ankle", "left_knee", (0.0, 0.0, -0.40987)),
+]
+
+# spherical joints decomposed into x,y,z hinge stacks: (joint, ranges per axis)
+_SPHERICAL = {
+    "chest": ((-1.2, 1.2), (-1.2, 1.2), (-1.2, 1.2)),
+    "neck": ((-1.0, 1.0), (-1.0, 1.0), (-1.0, 1.0)),
+    "right_shoulder": ((-3.14, 0.5), (-3.14, 0.7), (-1.5, 1.5)),
+    "left_shoulder": ((-0.5, 3.14), (-3.14, 0.7), (-1.5, 1.5)),
+    "right_hip": ((-1.2, 1.2), (-2.57, 1.57), (-1.0, 1.0)),
+    "left_hip": ((-1.2, 1.2), (-2.57, 1.57), (-1.0, 1.0)),
+    "right_ankle": ((-1.0, 1.0), (-1.0, 1.57), (-1.0, 1.0)),
+    "left_ankle": ((-1.0, 1.0), (-1.0, 1.57), (-1.0, 1.0)),
+}
+# 1-dof hinges about (0,-1,0)
+_REVOLUTE = {
+    "right_elbow": (0.0, 2.8),
+    "left_elbow": (0.0, 2.8),
+    "right_knee": (-2.7, 0.0),
+    "left_knee": (-2.7, 0.0),
+}
+
+# geoms: (name, body, type, mass, spec)
+_GEOMS = [
+    ("root", "root", SPHERE, 6.0, dict(size=(0.09, 0, 0), pos=(0, 0, 0.07))),
+    ("chest", "chest", SPHERE, 14.0, dict(size=(0.11, 0, 0), pos=(0, 0, 0.12))),
+    ("neck", "neck", SPHERE, 2.0, dict(size=(0.1025, 0, 0), pos=(0, 0, 0.175))),
+    ("right_shoulder", "right_shoulder", CAPSULE, 1.5,
+     dict(size=(0.045, 0, 0), fromto=(0, 0, -0.05, 0, 0, -0.23))),
+    ("right_elbow", "right_elbow", CAPSULE, 1.0,
+     dict(size=(0.04, 0, 0), fromto=(0, 0, -0.0525, 0, 0, -0.1875))),
+    ("right_wrist", "right_elbow", SPHERE, 0.5,
+     dict(size=(0.04, 0, 0), pos=(0, 0, -0.258947))),
+    ("left_shoulder", "left_shoulder", CAPSULE, 1.5,
+     dict(size=(0.045, 0, 0), fromto=(0, 0, -0.05, 0, 0, -0.23))),
+    ("left_elbow", "left_elbow", CAPSULE, 1.0,
+     dict(size=(0.04, 0, 0), fromto=(0, 0, -0.0525, 0, 0, -0.1875))),
+    ("left_wrist", "left_elbow", SPHERE, 0.5,
+     dict(size=(0.04, 0, 0), pos=(0, 0, -0.258947))),
+    ("right_hip", "right_hip", CAPSULE, 4.5,
+     dict(size=(0.055, 0, 0), fromto=(0, 0, -0.06, 0, 0, -0.36))),
+    ("right_knee", "right_knee", CAPSULE, 3.0,
+     dict(size=(0.05, 0, 0), fromto=(0, 0, -0.045, 0, 0, -0.355))),
+    ("right_ankle", "right_ankle", BOX, 1.0,
+     dict(size=(0.0885, 0.045, 0.0275), pos=(0.045, 0, -0.0225))),
+    ("left_hip", "left_hip", CAPSULE, 4.5,
+     dict(size=(0.055, 0, 0), fromto=(0, 0, -0.06, 0, 0, -0.36))),
+    ("left_knee", "left_knee", CAPSULE, 3.0,
+     dict(size=(0.05, 0, 0), fromto=(0, 0, -0.045, 0, 0, -0.355))),
+    ("left_ankle", "left_ankle", BOX, 1.0,
+     dict(size=(0.0885, 0.045, 0.0275), pos=(0.045, 0, -0.0225))),
+]
+
+# motor gear per joint (spherical → same gear on x,y,z)
+_GEARS = {
+    "chest": 200, "neck": 50, "right_shoulder": 100, "right_elbow": 60,
+    "left_shoulder": 100, "left_elbow": 60, "right_hip": 200,
+    "right_knee": 150, "right_ankle": 90, "left_hip": 200,
+    "left_knee": 150, "left_ankle": 90,
+}
+
+# qpos joint ordering (after the free root) — matches the mocap pipeline
+_JOINT_ORDER = [
+    "chest", "neck", "right_shoulder", "right_elbow",
+    "left_shoulder", "left_elbow", "right_hip", "right_knee",
+    "right_ankle", "left_hip", "left_knee", "left_ankle",
+]
+
+
+def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
+                   iterations: int = 50) -> PhysicsModel:
+    b = ModelBuilder(dt=dt, integrator=integrator, iterations=iterations)
+    for name, parent, pos in _BODIES:
+        b.add_body(name, parent, pos=pos)
+    for g_name, g_body, g_type, g_mass, spec in _GEOMS:
+        b.add_geom(g_name, g_body, g_type, g_mass, **spec)
+    # hinges in qpos order
+    for joint in _JOINT_ORDER:
+        if joint in _SPHERICAL:
+            ranges = _SPHERICAL[joint]
+            for axis_name, axis, rng in zip(
+                "xyz", ((1, 0, 0), (0, 1, 0), (0, 0, 1)), ranges
+            ):
+                b.add_hinge(f"{joint}_{axis_name}", joint, axis, rng)
+        else:
+            b.add_hinge(joint, joint, (0, -1, 0), _REVOLUTE[joint])
+    for joint in _JOINT_ORDER:
+        if joint in _SPHERICAL:
+            for axis_name in "xyz":
+                b.add_motor(f"{joint}_{axis_name}", _GEARS[joint])
+        else:
+            b.add_motor(joint, _GEARS[joint])
+    return b.finalize(root_pos=(0.0, 0.0, 0.9))
+
+
+def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,
+            integrator: str = "RK4") -> str:
+    """Emit an MJCF string equivalent to :func:`build_humanoid` for host-side
+    validation against real MuJoCo and for rendering."""
+    lines = [
+        '<mujoco model="humanoid_tpu">',
+        '  <compiler angle="radian" inertiafromgeom="true"/>',
+        '  <default>',
+        '    <joint limited="true" armature="1" damping="1"/>',
+        '    <geom conaffinity="1" condim="1" contype="1" margin="0.001"/>',
+        '    <motor ctrllimited="true" ctrlrange="-0.5 0.5"/>',
+        '  </default>',
+        f'  <option integrator="{integrator}" iterations="50" solver="PGS" timestep="{timestep}"/>',
+        '  <worldbody>',
+        '    <geom condim="3" friction="1 .1 .1" name="floor" pos="0 0 0" size="50 50 0.2" type="plane"/>',
+    ]
+
+    children: dict[str, list[str]] = {}
+    parents = {}
+    for name, parent, pos in _BODIES:
+        parents[name] = parent
+        children.setdefault(parent, []).append(name)
+
+    def fmt(v):
+        return " ".join(repr(round(float(x), 9)) for x in v)
+
+    def emit_body(name: str, indent: str):
+        pos = dict((n, p) for n, par, p in [(x[0], x[1], x[2]) for x in _BODIES])[name]
+        lines.append(f'{indent}<body name="{name}" pos="{fmt(pos)}">')
+        if name == "root":
+            lines.append(
+                f'{indent}  <joint armature="0" damping="0" limited="false" '
+                f'name="root" pos="0 0 0" stiffness="0" type="free"/>'
+            )
+        elif name in _SPHERICAL:
+            for axis_name, axis, rng in zip(
+                "xyz", ("1 0 0", "0 1 0", "0 0 1"), _SPHERICAL[name]
+            ):
+                lines.append(
+                    f'{indent}  <joint name="{name}_{axis_name}" axis="{axis}" '
+                    f'pos="0 0 0" range="{rng[0]} {rng[1]}" type="hinge"/>'
+                )
+        else:
+            rng = _REVOLUTE[name]
+            lines.append(
+                f'{indent}  <joint name="{name}" axis="0 -1 0" pos="0 0 0" '
+                f'range="{rng[0]} {rng[1]}" type="hinge"/>'
+            )
+        for g_name, g_body, g_type, g_mass, spec in _GEOMS:
+            if g_body != name:
+                continue
+            if "fromto" in spec:
+                lines.append(
+                    f'{indent}  <geom name="{g_name}" type="capsule" mass="{g_mass}" '
+                    f'size="{spec["size"][0]}" fromto="{fmt(spec["fromto"])}"/>'
+                )
+            else:
+                tname = {SPHERE: "sphere", BOX: "box"}[g_type]
+                size = spec["size"] if g_type == BOX else spec["size"][:1]
+                lines.append(
+                    f'{indent}  <geom name="{g_name}" type="{tname}" mass="{g_mass}" '
+                    f'pos="{fmt(spec["pos"])}" size="{fmt(size)}"/>'
+                )
+        for child in children.get(name, []):
+            emit_body(child, indent + "  ")
+        lines.append(f"{indent}</body>")
+
+    emit_body("root", "    ")
+    lines.append("  </worldbody>")
+    # same contact excludes as the reference model
+    lines.append("  <contact>")
+    for b1, b2 in [
+        ("right_hip", "root"), ("left_hip", "root"),
+        ("right_hip", "right_knee"), ("left_hip", "left_knee"),
+        ("right_knee", "right_ankle"), ("left_knee", "left_ankle"),
+        ("right_elbow", "right_shoulder"), ("left_elbow", "left_shoulder"),
+    ]:
+        lines.append(f'    <exclude body1="{b1}" body2="{b2}"/>')
+    lines.append("  </contact>")
+    lines.append("  <actuator>")
+    for joint in _JOINT_ORDER:
+        if joint in _SPHERICAL:
+            for axis_name in "xyz":
+                nm = f"{joint}_{axis_name}"
+                lines.append(f'    <motor gear="{_GEARS[joint]}" joint="{nm}" name="{nm}"/>')
+        else:
+            lines.append(f'    <motor gear="{_GEARS[joint]}" joint="{joint}" name="{joint}"/>')
+    lines.append("  </actuator>")
+    lines.append("</mujoco>")
+    return "\n".join(lines)

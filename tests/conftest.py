@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware
+(SURVEY.md §4: XLA host-device virtualization replaces a real pod)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The hosted-TPU harness ignores JAX_PLATFORMS; force CPU via config so the
+# virtual 8-device mesh is actually used (and tests don't round-trip to a
+# remote chip per op).
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "src"))
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="upstream reference checkout not present"
+)

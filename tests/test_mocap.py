@@ -1,0 +1,144 @@
+"""Mocap pipeline tests: loader invariants, scipy cross-validation, and
+(guarded) parity against the reference's transformations.py behaviour."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from deepmimic_mujoco_tpu.mocap import _quat_np as qnp
+from deepmimic_mujoco_tpu.mocap.constants import NQ, NV
+from deepmimic_mujoco_tpu.mocap.loader import convert_frames, load_deepmimic_json
+from deepmimic_mujoco_tpu.mocap.registry import SKILLS, available_clips, get_clip
+
+from .conftest import REFERENCE_DIR, requires_reference
+
+
+class TestBundledClips:
+    def test_all_15_skills_bundled(self):
+        clips = available_clips()
+        for s in SKILLS:
+            assert f"humanoid3d_{s}" in clips, f"missing bundled clip {s}"
+
+    def test_walk_clip_shapes(self):
+        clip = get_clip("walk")
+        assert clip.qpos.shape == (39, NQ)
+        assert clip.qvel.shape == (39, NV)
+        assert clip.loop == "wrap"
+        assert clip.dt == pytest.approx(0.033332, abs=1e-6)
+
+    def test_first_frame_velocity_zero(self):
+        clip = get_clip("run")
+        np.testing.assert_allclose(clip.qvel[0], 0.0)
+
+    def test_root_quat_normalized(self):
+        clip = get_clip("spinkick")
+        # source data carries ~1e-6 normalization error which the reference
+        # pipeline preserves (align_rotation is norm-preserving, no renorm)
+        norms = np.linalg.norm(clip.qpos[:, 3:7], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    def test_euler_roundtrips_to_aligned_quat(self):
+        """data_config euler triplets must reconstruct the aligned joint quats
+        (the whole point of the euler-rxyz hinge decomposition)."""
+        clip = get_clip("walk")
+        # chest occupies qpos[7:10] and quat_frames[8:12]
+        for k in range(len(clip)):
+            e = clip.qpos[k, 7:10]
+            q_want = clip.quat_frames[k, 8:12]
+            q_got = qnp.from_euler_rxyz(e)
+            if np.dot(q_got, q_want) < 0:
+                q_got = -q_got
+            # euler extraction normalizes; source quats carry ~1e-6 norm error
+            np.testing.assert_allclose(q_got, q_want, atol=1e-5)
+
+
+class TestVelocitySemantics:
+    def test_linear_velocity_forward_difference(self):
+        clip = get_clip("walk")
+        k = 5
+        dura = clip.durations[k - 1]
+        want = (clip.qpos[k, :3] - clip.qpos[k - 1, :3]) / dura
+        np.testing.assert_allclose(clip.qvel[k, :3], want, atol=1e-12)
+
+    def test_rot_vel_matches_scipy(self):
+        """rot_vel(q0, q1, dt) == rotvec(R0^{-1} R1)/dt with wrapped angle."""
+        rng = np.random.RandomState(3)
+        for _ in range(50):
+            q0, q1 = rng.randn(4), rng.randn(4)
+            q0 /= np.linalg.norm(q0)
+            q1 /= np.linalg.norm(q1)
+            dt = 0.0333
+            got = qnp.rot_vel(q0, q1, dt)
+            r0 = R.from_quat(np.roll(q0, -1))
+            r1 = R.from_quat(np.roll(q1, -1))
+            want = (r0.inv() * r1).as_rotvec() / dt
+            np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_angular_velocity_uses_reference_order(self):
+        """qvel rotational parts use (curr, prev) order — the reference's
+        quirk at mocap_v2.py:113/135 — i.e. the negative of prev→curr."""
+        clip = get_clip("walk")
+        k = 7
+        dura = clip.durations[k - 1]
+        q_curr = clip.quat_frames[k, 4:8]
+        q_prev = clip.quat_frames[k - 1, 4:8]
+        want = qnp.rot_vel(q_curr, q_prev, dura)
+        np.testing.assert_allclose(clip.qvel[k, 3:6], want, atol=1e-12)
+
+
+class TestAlignment:
+    def test_align_rotation_is_x90_conjugation(self):
+        rng = np.random.RandomState(0)
+        x90 = R.from_rotvec([np.pi / 2, 0, 0])
+        for _ in range(20):
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            got = qnp.align_rotation(q)
+            rq = R.from_quat(np.roll(q, -1))
+            want = (x90 * rq * x90.inv()).as_quat()
+            want = np.roll(want, 1)
+            if np.dot(got, want) < 0:
+                want = -want
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_align_position(self):
+        np.testing.assert_allclose(
+            qnp.align_position(np.array([1.0, 2.0, 3.0])), [1.0, -3.0, 2.0]
+        )
+
+
+@requires_reference
+class TestReferenceParity:
+    def test_euler_rxyz_matches_reference_transformations(self):
+        sys.path.insert(0, os.path.join(REFERENCE_DIR, "src"))
+        try:
+            import transformations as tfm
+        finally:
+            sys.path.pop(0)
+        rng = np.random.RandomState(11)
+        for _ in range(300):
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            got = qnp.euler_rxyz(q)
+            want = np.array(
+                tfm.euler_from_quaternion([q[1], q[2], q[3], q[0]], axes="rxyz")
+            )
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_loader_reads_reference_clip_files(self):
+        path = os.path.join(REFERENCE_DIR, "src/mujoco/motions/humanoid3d_walk.txt")
+        clip = load_deepmimic_json(path)
+        bundled = get_clip("walk")
+        np.testing.assert_allclose(clip.qpos, bundled.qpos, atol=0)
+        np.testing.assert_allclose(clip.qvel, bundled.qvel, atol=0)
+
+    def test_raw_frames_match_reference_files(self):
+        path = os.path.join(REFERENCE_DIR, "src/mujoco/motions/humanoid3d_run.txt")
+        with open(path) as f:
+            frames = np.asarray(json.load(f)["Frames"], dtype=np.float64)
+        bundled = get_clip("run")
+        np.testing.assert_array_equal(bundled.raw_frames, frames)

@@ -1,0 +1,187 @@
+"""Physics engine validation against real MuJoCo (host C engine).
+
+Tolerance ladder (SURVEY.md §7 "hard parts"):
+* static quantities (FK, mass matrix, bias forces): ~f32 precision
+* smooth (contact-free) trajectories: tight per-step agreement
+* constrained trajectories (contacts/limits): qualitative — stiff constraint
+  + different solver (our APGD vs MuJoCo Newton) diverge pointwise; we check
+  physical invariants (no fall-through, settling, force balance) instead.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+mujoco = pytest.importorskip("mujoco")
+
+from deepmimic_mujoco_tpu.physics import build_humanoid, engine  # noqa: E402
+from deepmimic_mujoco_tpu.physics import collision, dynamics, kinematics  # noqa: E402
+from deepmimic_mujoco_tpu.physics.humanoid import to_mjcf  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model():
+    return build_humanoid()
+
+
+@pytest.fixture(scope="module")
+def mj_model():
+    return mujoco.MjModel.from_xml_string(to_mjcf())
+
+
+@pytest.fixture(scope="module")
+def rand_state(mj_model):
+    rng = np.random.RandomState(0)
+    qpos = np.zeros(mj_model.nq)
+    qpos[:3] = [0.1, 0.2, 1.0]
+    q = rng.randn(4)
+    qpos[3:7] = q / np.linalg.norm(q)
+    qpos[7:] = rng.uniform(-0.5, 0.5, 28)
+    qvel = rng.randn(mj_model.nv) * 0.5
+    return qpos, qvel
+
+
+class TestModel:
+    def test_sizes(self, model, mj_model):
+        assert (model.nq, model.nv, model.nu) == (35, 34, 28)
+        assert (mj_model.nq, mj_model.nv, mj_model.nu) == (35, 34, 28)
+
+    def test_total_mass_45kg(self, model, mj_model):
+        assert float(np.sum(np.asarray(model.body_mass))) == pytest.approx(45.0)
+        assert mj_model.body_mass.sum() == pytest.approx(45.0)
+
+    def test_body_inertia_matches_mujoco(self, model, mj_model):
+        # compare principal moments (MuJoCo stores diagonal in principal frame)
+        for i in range(model.nbody):
+            mine = np.sort(np.linalg.eigvalsh(np.asarray(model.body_inertia[i], np.float64)))
+            theirs = np.sort(mj_model.body_inertia[1 + i])
+            np.testing.assert_allclose(mine, theirs, rtol=1e-5, atol=1e-9)
+
+    def test_candidate_contacts(self, model):
+        # 5 spheres + 8 capsules x 2 + 2 boxes x 8 = 37
+        assert model.ncand == 37
+
+
+class TestStaticsVsMujoco:
+    def test_fk(self, model, mj_model, rand_state):
+        qpos, _ = rand_state
+        d = mujoco.MjData(mj_model)
+        d.qpos[:] = qpos
+        mujoco.mj_forward(mj_model, d)
+        kin = kinematics.fk(model, jnp.asarray(qpos, jnp.float32))
+        np.testing.assert_allclose(np.asarray(kin.xpos), d.xpos[1:], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kin.xcom), d.xipos[1:], atol=1e-5)
+        xq, mq = np.asarray(kin.xquat), d.xquat[1:]
+        sign = np.sign(np.sum(xq * mq, axis=1, keepdims=True))
+        np.testing.assert_allclose(xq, mq * sign, atol=1e-5)
+
+    def test_mass_matrix(self, model, mj_model, rand_state):
+        qpos, _ = rand_state
+        d = mujoco.MjData(mj_model)
+        d.qpos[:] = qpos
+        mujoco.mj_forward(mj_model, d)
+        kin = kinematics.fk(model, jnp.asarray(qpos, jnp.float32))
+        m_mine = np.asarray(dynamics.mass_matrix(model, kin), np.float64)
+        m_full = np.zeros((mj_model.nv, mj_model.nv))
+        mujoco.mj_fullM(mj_model, d, m_full)
+        np.testing.assert_allclose(m_mine, m_full, atol=1e-4)
+
+    def test_bias_force(self, model, mj_model, rand_state):
+        qpos, qvel = rand_state
+        d = mujoco.MjData(mj_model)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(mj_model, d)
+        kin = kinematics.fk(model, jnp.asarray(qpos, jnp.float32))
+        bias = np.asarray(
+            dynamics.bias_force(model, kin, jnp.asarray(qvel, jnp.float32)), np.float64
+        )
+        np.testing.assert_allclose(bias, d.qfrc_bias, atol=1e-3)
+
+    def test_forward_qacc_smooth(self, model, mj_model, rand_state):
+        """Contact-free constrained forward == MuJoCo qacc (joints inside
+        limits, body airborne)."""
+        rng = np.random.RandomState(1)
+        qpos = np.asarray(model.qpos0, np.float64).copy()
+        qpos[2] = 50.0
+        lo, hi = mj_model.jnt_range[1:, 0], mj_model.jnt_range[1:, 1]
+        qpos[7:] = 0.5 * (lo + hi)
+        qvel = rng.randn(34) * 0.5
+        ctrl = rng.uniform(-0.3, 0.3, 28)
+        d = mujoco.MjData(mj_model)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        mujoco.mj_forward(mj_model, d)
+        fwd = engine.forward(
+            model, jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32),
+            jnp.asarray(ctrl, jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(fwd.qacc, np.float64), d.qacc, atol=5e-3)
+
+
+class TestTrajectories:
+    def test_airborne_trajectory_matches(self, model, mj_model):
+        """Smooth-regime stepping tracks MuJoCo tightly for 10 steps."""
+        rng = np.random.RandomState(1)
+        qpos = np.asarray(model.qpos0, np.float64).copy()
+        qpos[2] = 50.0
+        lo, hi = mj_model.jnt_range[1:, 0], mj_model.jnt_range[1:, 1]
+        qpos[7:] = 0.5 * (lo + hi)
+        qvel = rng.randn(34) * 0.2
+        ctrl = rng.uniform(-0.2, 0.2, 28)
+        d = mujoco.MjData(mj_model)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        step = jax.jit(
+            lambda qp, qv: engine.step(model, qp, qv, jnp.asarray(ctrl, jnp.float32))
+        )
+        qp, qv = jnp.asarray(qpos, jnp.float32), jnp.asarray(qvel, jnp.float32)
+        for _ in range(10):
+            qp, qv = step(qp, qv)
+            mujoco.mj_step(mj_model, d)
+        assert d.nefc == 0, "test invalid: constraints became active in MuJoCo"
+        np.testing.assert_allclose(np.asarray(qp, np.float64), d.qpos, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qv, np.float64), d.qvel, atol=1e-3)
+
+    def test_drop_no_fallthrough_and_settles(self, model):
+        """Passive humanoid drop: feet contact holds, motion decays."""
+        step = jax.jit(lambda qp, qv: engine.step(model, qp, qv, jnp.zeros(28)))
+        qp = jnp.asarray(model.qpos0)
+        qv = jnp.zeros(34, jnp.float32)
+        z_min = 10.0
+        for i in range(150):
+            qp, qv = step(qp, qv)
+            z_min = min(z_min, float(qp[2]))
+        assert z_min > 0.0, f"root fell through the floor (min z {z_min})"
+        assert float(qp[2]) > 0.05
+        assert np.isfinite(np.asarray(qp)).all()
+
+    def test_determinism(self, model):
+        step = jax.jit(lambda qp, qv: engine.step(model, qp, qv, jnp.zeros(28)))
+        outs = []
+        for _ in range(2):
+            qp = jnp.asarray(model.qpos0)
+            qv = jnp.zeros(34, jnp.float32)
+            for _ in range(20):
+                qp, qv = step(qp, qv)
+            outs.append(np.asarray(qp))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_vmap_batch(self, model):
+        """Batched stepping: vmapped over envs, one program."""
+        batch_step = jax.jit(
+            jax.vmap(lambda qp, qv, c: engine.step(model, qp, qv, c),
+                     in_axes=(0, 0, 0))
+        )
+        B = 4
+        qp = jnp.tile(jnp.asarray(model.qpos0), (B, 1))
+        qv = jnp.zeros((B, 34), jnp.float32)
+        ctrl = jnp.zeros((B, 28), jnp.float32)
+        qp2, qv2 = batch_step(qp, qv, ctrl)
+        assert qp2.shape == (B, 35)
+        # identical inputs → identical outputs across the batch
+        np.testing.assert_array_equal(np.asarray(qp2[0]), np.asarray(qp2[1]))
