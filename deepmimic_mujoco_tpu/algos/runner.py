@@ -1,0 +1,75 @@
+"""Evaluation / rollout export — the reference's ``runner``/
+``traj_1_generator`` (/root/reference/src/trpo.py:356-436): run N episodes
+with a deterministic (or stochastic) policy, report avg return/length,
+optionally save trajectories as ``.npz``."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmimic_mujoco_tpu.models import distributions
+
+
+def evaluate(env, policy, params, key, n_episodes: int = 100,
+             horizon: int = 1024, stochastic: bool = False,
+             save_path: Optional[str] = None):
+    """Batched evaluation: runs ``n_episodes`` envs in parallel for up to
+    ``horizon`` steps each, masking steps after termination (the reference
+    runs them serially, trpo.py:379-385).
+
+    Returns (avg_len, avg_ret); optionally saves obs/acs/rews/ep_rets/lens
+    like the reference's ``.npz`` export (trpo.py:388-393)."""
+
+    keys = jax.random.split(key, n_episodes + 1)
+    state = jax.vmap(env.reset)(keys[1:])
+
+    @jax.jit
+    def rollout(state, key):
+        def step_fn(carry, _):
+            state, alive, ep_ret, ep_len, key = carry
+            key, k_act = jax.random.split(key)
+            ob = state.obs
+            mean, logstd = policy.mean_logstd(params, ob)
+            if stochastic:
+                ks = jax.random.split(k_act, n_episodes)
+                ac = jax.vmap(distributions.diag_gaussian.sample)(ks, mean, logstd)
+            else:
+                ac = mean
+            nxt = jax.vmap(env.step)(state, ac)
+            # freeze finished envs
+            keep = alive.reshape((-1,) + (1,) * 0)
+            ep_ret = ep_ret + jnp.where(alive, nxt.reward, 0.0)
+            ep_len = ep_len + jnp.where(alive, 1, 0)
+            alive2 = alive & ~nxt.done
+            state2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                nxt, state)
+            return (state2, alive2, ep_ret, ep_len, key), (ob, ac, nxt.reward)
+
+        alive = jnp.ones(n_episodes, bool)
+        ep_ret = jnp.zeros(n_episodes, jnp.float32)
+        ep_len = jnp.zeros(n_episodes, jnp.int32)
+        carry, traj = jax.lax.scan(
+            step_fn, (state, alive, ep_ret, ep_len, key), None, length=horizon)
+        _, _, ep_ret, ep_len, _ = carry
+        return ep_ret, ep_len, traj
+
+    ep_ret, ep_len, traj = rollout(state, keys[0])
+    avg_len = float(jnp.mean(ep_len))
+    avg_ret = float(jnp.mean(ep_ret))
+    if save_path is not None:
+        obs, acs, rews = traj
+        np.savez(
+            save_path,
+            obs=np.asarray(obs).swapaxes(0, 1),
+            acs=np.asarray(acs).swapaxes(0, 1),
+            rews=np.asarray(rews).swapaxes(0, 1),
+            ep_rets=np.asarray(ep_ret),
+            lens=np.asarray(ep_len),
+        )
+    return avg_len, avg_ret

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""GAIL training CLI — the reference's ``gail.py __main__``
+(/root/reference/src/gail.py:372-404,496-597) with the same hyperparameter
+surface (expert .npz path, traj_limitation, adversary hidden/entcoeff,
+g_step/d_step, BC pretraining flag)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from collections import deque
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env-id", default="DPEnvV3")
+    p.add_argument("--motion", default="walk")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--expert-path", required=True)
+    p.add_argument("--traj-limitation", type=int, default=-1)
+    # gail.py:503-514 defaults
+    p.add_argument("--g-step", type=int, default=3)
+    p.add_argument("--d-step", type=int, default=1)
+    p.add_argument("--num-timesteps", type=int, default=5_000_000)
+    p.add_argument("--timesteps-per-batch", type=int, default=1024)
+    p.add_argument("--num-envs", type=int, default=8)
+    p.add_argument("--max-kl", type=float, default=0.01)
+    p.add_argument("--policy-entcoeff", type=float, default=0.0)
+    p.add_argument("--adversary-entcoeff", type=float, default=1e-3)
+    p.add_argument("--adversary-hidden-size", type=int, default=100)
+    p.add_argument("--d-stepsize", type=float, default=3e-4)
+    p.add_argument("--pretrained", action="store_true",
+                   help="behavior-cloning pretraining (gail.py:491-495)")
+    p.add_argument("--bc-max-iters", type=int, default=10_000)
+    p.add_argument("--checkpoint-dir", default="checkpoint_tmp")
+    p.add_argument("--log-dir", default="log_tmp")
+    p.add_argument("--num-iters", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from deepmimic_mujoco_tpu.algos.bc import behavior_clone
+    from deepmimic_mujoco_tpu.algos.dataset import MujocoDset
+    from deepmimic_mujoco_tpu.algos.gail import GAIL, GAILConfig
+    from deepmimic_mujoco_tpu.algos.trpo import TRPOConfig
+    from deepmimic_mujoco_tpu.envs import DPEnvV3
+    from deepmimic_mujoco_tpu.io_utils import checkpoint
+    from deepmimic_mujoco_tpu.models import MlpPolicy
+    from deepmimic_mujoco_tpu.utils import logger
+
+    env = DPEnvV3(clip=args.motion)
+    policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
+    dset = MujocoDset(args.expert_path, traj_limitation=args.traj_limitation)
+
+    cfg = GAILConfig(
+        trpo=TRPOConfig(
+            horizon=args.timesteps_per_batch, num_envs=args.num_envs,
+            g_step=args.g_step, max_kl=args.max_kl,
+            entcoeff=args.policy_entcoeff,
+        ),
+        d_step=args.d_step, d_stepsize=args.d_stepsize,
+    )
+    learner = GAIL(
+        env, policy, dset.obs, dset.acs, cfg,
+        adversary_hidden=args.adversary_hidden_size,
+        adversary_entcoeff=args.adversary_entcoeff,
+    )
+    state = learner.init(jax.random.PRNGKey(args.seed))
+
+    if args.pretrained:
+        params = behavior_clone(
+            policy, state.trpo.params, dset,
+            max_iters=args.bc_max_iters, seed=args.seed)
+        import dataclasses
+
+        state = dataclasses.replace(
+            state, trpo=dataclasses.replace(state.trpo, params=params))
+
+    name = f"{args.env_id}/gail-{args.motion}-{args.seed}"
+    log_dir = os.path.join(args.log_dir, name)
+    ckpt_dir = os.path.join(args.checkpoint_dir, name)
+    logger.configure(log_dir)
+
+    lenbuffer, rewbuffer, truebuffer = (deque(maxlen=40) for _ in range(3))
+    timesteps = 0
+    iters = 0
+    tstart = time.time()
+    while True:
+        if args.num_iters and iters >= args.num_iters:
+            break
+        if not args.num_iters and timesteps >= args.num_timesteps:
+            break
+        state, stats = learner.iteration(state)
+        t = stats.trpo
+        n_ep = int(t.ep_count)
+        if n_ep:
+            rewbuffer.append(float(t.ep_ret_sum) / n_ep)
+            lenbuffer.append(float(t.ep_len_sum) / n_ep)
+            truebuffer.append(float(stats.true_ep_ret_sum) / n_ep)
+        timesteps += int(t.timesteps)
+        iters += 1
+        logger.record_tabular("EpLenMean", np.mean(lenbuffer) if lenbuffer else np.nan)
+        logger.record_tabular("EpRewMean", np.mean(rewbuffer) if rewbuffer else np.nan)
+        logger.record_tabular("EpTrueRewMean", np.mean(truebuffer) if truebuffer else np.nan)
+        logger.record_tabular("DLoss", float(stats.d_loss))
+        logger.record_tabular("GenAcc", float(stats.gen_acc))
+        logger.record_tabular("ExpertAcc", float(stats.exp_acc))
+        logger.record_tabular("TimestepsSoFar", timesteps)
+        logger.record_tabular("TimeElapsed", time.time() - tstart)
+        logger.dump_tabular()
+        if iters % 100 == 0:
+            checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
+    checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
+
+
+if __name__ == "__main__":
+    main()

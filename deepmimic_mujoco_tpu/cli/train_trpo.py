@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""TRPO training / evaluation CLI — the reference's ``trpo.py __main__``
+(/root/reference/src/trpo.py:438-521) with the same hyperparameter surface.
+
+Examples:
+  python -m deepmimic_mujoco_tpu.cli.train_trpo --task train \
+      --motion walk --num-timesteps 1000000
+  python -m deepmimic_mujoco_tpu.cli.train_trpo --task evaluate \
+      --load-model-path ckpt/trpo_state.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env-id", default="DPEnvV3")
+    p.add_argument("--motion", default="walk", help="mocap clip (Config.motion)")
+    p.add_argument("--reward-mode", default="alive",
+                   choices=["alive", "mocap", "imitation"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", default="train", choices=["train", "evaluate", "sample"])
+    # TRPO hyperparams (reference trpo.py:507-515, 338-354)
+    p.add_argument("--g-step", type=int, default=3)
+    p.add_argument("--policy-entcoeff", type=float, default=0)
+    p.add_argument("--num-timesteps", type=int, default=1_000_000)
+    p.add_argument("--timesteps-per-batch", type=int, default=256)
+    p.add_argument("--num-envs", type=int, default=8,
+                   help="replaces mpirun -np N (train_mpi.sh)")
+    p.add_argument("--max-kl", type=float, default=0.01)
+    p.add_argument("--cg-iters", type=int, default=10)
+    p.add_argument("--cg-damping", type=float, default=0.1)
+    p.add_argument("--vf-iters", type=int, default=3)
+    p.add_argument("--vf-stepsize", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=0.995)
+    p.add_argument("--lam", type=float, default=0.97)
+    p.add_argument("--hid-size", type=int, default=100)
+    p.add_argument("--num-hid-layers", type=int, default=2)
+    # infra
+    p.add_argument("--save-per-iter", type=int, default=100)
+    p.add_argument("--checkpoint-dir", default="checkpoint_tmp")
+    p.add_argument("--log-dir", default="log_tmp")
+    p.add_argument("--load-model-path", default=None)
+    p.add_argument("--pretrained-weight-path", default=None)
+    p.add_argument("--num-iters", type=int, default=0,
+                   help="stop after N iterations instead of timesteps")
+    p.add_argument("--eval-episodes", type=int, default=100)
+    p.add_argument("--sample-save-path", default=None)
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    return p
+
+
+def task_name(args) -> str:
+    """Reference get_task_short_name (trpo.py:331-336)."""
+    return f"{args.env_id}/trpo-{args.motion}-{args.seed}"
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+
+    from deepmimic_mujoco_tpu.algos.runner import evaluate
+    from deepmimic_mujoco_tpu.algos.train_loop import train
+    from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+    from deepmimic_mujoco_tpu.envs import DPEnvV1, DPEnvV2, DPEnvV3
+    from deepmimic_mujoco_tpu.io_utils import checkpoint
+    from deepmimic_mujoco_tpu.models import MlpPolicy
+
+    env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2, "DPEnvV3": DPEnvV3}[args.env_id]
+    env_kwargs = {"clip": args.motion}
+    if args.env_id == "DPEnvV3":
+        env_kwargs["reward_mode"] = args.reward_mode
+    env = env_cls(**env_kwargs)
+
+    policy = MlpPolicy(
+        ob_dim=env.observation_size, ac_dim=env.action_size,
+        hid_size=args.hid_size, num_hid_layers=args.num_hid_layers,
+    )
+    cfg = TRPOConfig(
+        horizon=args.timesteps_per_batch, num_envs=args.num_envs,
+        g_step=args.g_step, gamma=args.gamma, lam=args.lam,
+        max_kl=args.max_kl, cg_iters=args.cg_iters, cg_damping=args.cg_damping,
+        vf_iters=args.vf_iters, vf_stepsize=args.vf_stepsize,
+        entcoeff=args.policy_entcoeff,
+    )
+    learner = TRPO(env, policy, cfg)
+    name = task_name(args)
+
+    if args.task == "train":
+        train(
+            learner, seed=args.seed,
+            max_timesteps=args.num_timesteps if not args.num_iters else 0,
+            max_iters=args.num_iters,
+            ckpt_dir=os.path.join(args.checkpoint_dir, name),
+            log_dir=os.path.join(args.log_dir, name),
+            save_per_iter=args.save_per_iter,
+            resume_from=args.pretrained_weight_path,
+        )
+    else:
+        state = learner.init(jax.random.PRNGKey(args.seed))
+        if args.load_model_path:
+            state = checkpoint.load(args.load_model_path, state)
+        avg_len, avg_ret = evaluate(
+            env, policy, state.params, jax.random.PRNGKey(args.seed),
+            n_episodes=args.eval_episodes,
+            stochastic=(args.task == "sample"),
+            save_path=args.sample_save_path,
+        )
+        print(f"Average length: {avg_len:.1f}")
+        print(f"Average return: {avg_ret:.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""DPEnv v3 — the canonical training environment, as a pure-functional
+jit/vmap-able env (reference: /root/reference/src/dp_env_v3.py).
+
+Semantics preserved exactly (incl. load-bearing quirks, SURVEY.md §7):
+
+* obs = qpos[7:] ‖ qvel[6:] (56-D), root excluded (dp_env_v3.py:62-65)
+* ``reset``: reference-state initialization — random mocap frame
+  (dp_env_v3.py:67-71,148-156)
+* ``reset_init``: ±0.01 uniform noise around the standing qpos0
+  (dp_env_v3.py:158-163) — this is what training uses after every done
+  (trpo.py:78-79)
+* step: 1 physics substep per control step (dp_env_v3.py:108-112)
+* reward: 1.0 alive bonus by default (dp_env_v3.py:117-128; imitation reward
+  is present but commented out upstream — exposed here via ``reward_mode``)
+* termination: whole-body CoM height outside (0.7, 2.0) (dp_env_v3.py:134-139)
+* ``calc_config_reward`` advances the mocap cursor as a side effect
+  (dp_env_v3.py:101-102) — reproduced in the "mocap" reward mode.
+
+reward_mode:
+  "alive"      1.0 per step (reference default — the standup/balance task)
+  "mocap"      exp(-Σ|q-q̂|) vs the cursor frame, cursor advances
+  "imitation"  full weighted DeepMimic reward (pose/vel/root/ee/com) with the
+               reference's weights/scales — the commented-out capability
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmimic_mujoco_tpu.envs import rewards
+from deepmimic_mujoco_tpu.envs.types import EnvState
+from deepmimic_mujoco_tpu.mocap.constants import END_EFFECTORS
+from deepmimic_mujoco_tpu.mocap.loader import MocapClip, load_clip
+from deepmimic_mujoco_tpu.physics import build_humanoid, engine, kinematics
+from deepmimic_mujoco_tpu.physics.model import PhysicsModel
+
+
+class DPEnvV3:
+    """Functional environment. All methods are pure and safe under
+    jit/vmap/scan; per-env state lives in :class:`EnvState`."""
+
+    # gym-API metadata
+    observation_size = 56
+    action_size = 28
+
+    def __init__(
+        self,
+        clip: str | MocapClip = "walk",
+        model: Optional[PhysicsModel] = None,
+        reward_mode: str = "alive",
+        n_substeps: int = 1,
+        reset_noise: float = 0.01,
+    ):
+        self.model = model if model is not None else build_humanoid()
+        if not isinstance(clip, MocapClip):
+            clip = load_clip(clip)
+        self.clip = clip
+        self.clip_len = len(clip)
+        self.clip_qpos = jnp.asarray(clip.qpos, jnp.float32)
+        self.clip_qvel = jnp.asarray(clip.qvel, jnp.float32)
+        self.reward_mode = reward_mode
+        self.n_substeps = n_substeps
+        self.reset_noise = reset_noise
+
+        self._ee_geoms = np.asarray(
+            [self.model.geom_index(n) for n in END_EFFECTORS], np.int32
+        )
+        if reward_mode == "imitation":
+            # precompute reference end-effector / COM tracks via batched FK
+            def frame_feats(qp):
+                kin = kinematics.fk(self.model, qp)
+                ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
+                com = kinematics.mass_center(self.model, kin)
+                return ee, com
+
+            ee, com = jax.vmap(frame_feats)(self.clip_qpos)
+            self.clip_ee = ee      # (T, 4, 3)
+            self.clip_com = com    # (T, 3)
+
+    # ------------------------------------------------------------------
+    def _obs(self, qpos, qvel):
+        return jnp.concatenate([qpos[7:], qvel[6:]])
+
+    def _state(self, qpos, qvel, key, init_idx, mocap_idx):
+        return EnvState(
+            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel),
+            reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
+            mocap_idx=mocap_idx, init_idx=init_idx,
+            step_count=jnp.zeros((), jnp.int32), key=key,
+        )
+
+    def reset(self, key: jax.Array) -> EnvState:
+        """Reference-state initialization: start from a random mocap frame
+        (``reset_model``, dp_env_v3.py:148-156)."""
+        k_idx, key = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (), 0, self.clip_len)
+        return self._state(self.clip_qpos[idx], self.clip_qvel[idx], key, idx, idx)
+
+    def reset_at(self, key: jax.Array, idx) -> EnvState:
+        """Deterministic reset to a specific mocap frame."""
+        idx = jnp.asarray(idx, jnp.int32)
+        return self._state(self.clip_qpos[idx], self.clip_qvel[idx], key, idx, idx)
+
+    def reset_init(self, key: jax.Array) -> EnvState:
+        """Noise reset around the standing pose (``reset_model_init``,
+        dp_env_v3.py:158-163) — used after every done during training."""
+        k1, k2, key = jax.random.split(key, 3)
+        c = self.reset_noise
+        qpos = self.model.qpos0 + jax.random.uniform(
+            k1, (self.model.nq,), minval=-c, maxval=c)
+        qvel = jax.random.uniform(
+            k2, (self.model.nv,), minval=-c, maxval=c)
+        zero = jnp.zeros((), jnp.int32)
+        return self._state(qpos, qvel, key, zero, zero)
+
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        qpos, qvel = engine.step(
+            self.model, state.qpos, state.qvel, action, n_substeps=self.n_substeps
+        )
+        kin = kinematics.fk(self.model, qpos)
+        com = kinematics.mass_center(self.model, kin)
+        done = (com[2] < 0.7) | (com[2] > 2.0)
+
+        mocap_idx = state.mocap_idx
+        if self.reward_mode == "alive":
+            reward = jnp.ones((), jnp.float32)
+        elif self.reward_mode == "mocap":
+            ref = self.clip_qpos[mocap_idx % self.clip_len]
+            err = rewards.config_l1_error(qpos[7:], ref[7:])
+            reward = jnp.exp(-err)
+            mocap_idx = (mocap_idx + 1) % self.clip_len
+        elif self.reward_mode == "imitation":
+            idx = mocap_idx % self.clip_len
+            ref_qp = self.clip_qpos[idx]
+            ref_qv = self.clip_qvel[idx]
+            ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
+            reward = rewards.imitation_reward(
+                qpos[7:], ref_qp[7:], qvel, ref_qv, qpos[0:3], ref_qp[0:3],
+                ee_pos=ee, ref_ee_pos=self.clip_ee[idx],
+                com=com, ref_com=self.clip_com[idx],
+            )
+            mocap_idx = (mocap_idx + 1) % self.clip_len
+        else:
+            raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
+
+        return EnvState(
+            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel),
+            reward=reward, done=done,
+            mocap_idx=mocap_idx, init_idx=state.init_idx,
+            step_count=state.step_count + 1, key=state.key,
+        )

@@ -1,0 +1,37 @@
+"""Checkpoint / resume.
+
+Replaces the reference's TF-1 ``tf.train.Saver`` graph checkpoints
+(/root/reference/src/trpo.py:220-224, utils/tf_util.py:314-361) with
+msgpack-free numpy archives of explicit pytrees.  Unlike the reference,
+optimizer state and normalizer statistics ARE checkpointed (SURVEY.md §5
+notes the reference loses MpiAdam m/v/t on resume)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save(path: str, tree: Any) -> None:
+    """Save a pytree to ``<path>.npz`` (flat key → array)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    np.savez(
+        path if path.endswith(".npz") else path + ".npz",
+        __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+    )
+
+
+def load(path: str, like: Any) -> Any:
+    """Load a pytree saved by :func:`save`; ``like`` provides the structure
+    (and device placement is left to the caller)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as z:
+        leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
+    treedef = jax.tree.structure(like)
+    return jax.tree.unflatten(treedef, leaves)

@@ -1,0 +1,44 @@
+"""Collective helpers over the device mesh.
+
+The reference's MPI vocabulary maps 1:1 (SURVEY.md §5 "Distributed
+communication backend"):
+
+  MPI.Allreduce(SUM)/nworkers  →  lax.pmean           (gradient averaging)
+  MPI.Bcast(root=0)            →  replicated params under SPMD (no-op)
+  MPI.allgather                →  lax.all_gather      (stats, sync checks)
+
+All helpers are no-ops when ``axis_name`` is None so the same learner code
+runs single-device and multi-device."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def maybe_pmean(x, axis_name: Optional[str]):
+    if axis_name is None:
+        return x
+    return jax.lax.pmean(x, axis_name)
+
+
+def maybe_psum(x, axis_name: Optional[str]):
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
+def sync_check(flat_params: jnp.ndarray, flat_opt: jnp.ndarray,
+               axis_name: Optional[str]):
+    """Replica-divergence tripwire — the reference asserts all ranks hold
+    identical (policy-sum, vf-adam-sum) every 20 iters (trpo.py:285-287) and
+    inside MpiAdam.check_synced (mpi_adam.py:42-50).
+
+    Returns a bool array: True iff this replica's sums match replica 0's."""
+    sums = jnp.stack([jnp.sum(flat_params), jnp.sum(flat_opt)])
+    if axis_name is None:
+        return jnp.asarray(True)
+    all_sums = jax.lax.all_gather(sums, axis_name)
+    return jnp.all(jnp.abs(all_sums - all_sums[0]) <= 1e-4 * (1.0 + jnp.abs(all_sums[0])))

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 # remote chip per op).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: physics-step programs take ~1 min to compile
+# on CPU; cache them across test processes/sessions.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"

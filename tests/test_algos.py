@@ -1,0 +1,198 @@
+"""Algorithm tests: GAE vs a literal numpy transcription of the reference
+recursion, CG, Adam parity, checkpoint roundtrip, and TRPO/GAIL smoke."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.algos import adam
+from deepmimic_mujoco_tpu.algos.cg import cg
+from deepmimic_mujoco_tpu.algos.gae import add_vtarg_and_adv
+from deepmimic_mujoco_tpu.utils.math import discount_with_boundaries, explained_variance
+
+
+def gae_numpy(rew, vpred, new, nextvpred, gamma, lam):
+    """Literal transcription of the reference recursion (trpo.py:83-94)."""
+    new = np.append(new, 0)
+    vpred = np.append(vpred, nextvpred)
+    T = len(rew)
+    adv = np.empty(T, "float64")
+    lastgaelam = 0.0
+    for t in reversed(range(T)):
+        nonterminal = 1 - new[t + 1]
+        delta = rew[t] + gamma * vpred[t + 1] * nonterminal - vpred[t]
+        adv[t] = lastgaelam = delta + gamma * lam * nonterminal * lastgaelam
+    return adv, adv + vpred[:-1]
+
+
+class TestGAE:
+    def test_matches_reference_recursion(self):
+        rng = np.random.RandomState(0)
+        T = 64
+        rew = rng.randn(T).astype(np.float32)
+        vpred = rng.randn(T).astype(np.float32)
+        new = np.zeros(T, np.float32)
+        new[[0, 17, 40]] = 1
+        nextvpred = 0.37
+        adv, tdlam = add_vtarg_and_adv(
+            jnp.asarray(rew), jnp.asarray(vpred), jnp.asarray(new),
+            jnp.asarray(nextvpred, jnp.float32), 0.995, 0.97)
+        adv_np, tdlam_np = gae_numpy(rew, vpred, new, nextvpred, 0.995, 0.97)
+        np.testing.assert_allclose(np.asarray(adv), adv_np, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tdlam), tdlam_np, atol=1e-4)
+
+    def test_batched(self):
+        rng = np.random.RandomState(1)
+        T, B = 32, 4
+        rew = rng.randn(T, B).astype(np.float32)
+        vpred = rng.randn(T, B).astype(np.float32)
+        new = (rng.rand(T, B) < 0.1).astype(np.float32)
+        nextvpred = rng.randn(B).astype(np.float32)
+        adv, _ = add_vtarg_and_adv(
+            jnp.asarray(rew), jnp.asarray(vpred), jnp.asarray(new),
+            jnp.asarray(nextvpred), 0.99, 0.95)
+        for b in range(B):
+            adv_np, _ = gae_numpy(rew[:, b], vpred[:, b], new[:, b],
+                                  nextvpred[b], 0.99, 0.95)
+            np.testing.assert_allclose(np.asarray(adv[:, b]), adv_np, atol=1e-4)
+
+
+class TestCG:
+    def test_solves_spd_system(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(12, 12)
+        A = A @ A.T + 12 * np.eye(12)
+        b = rng.randn(12)
+        A_j = jnp.asarray(A, jnp.float32)
+        x = cg(lambda v: A_j @ v, jnp.asarray(b, jnp.float32), cg_iters=12)
+        np.testing.assert_allclose(np.asarray(A @ np.asarray(x, np.float64)), b, atol=1e-2)
+
+
+class TestAdam:
+    def test_matches_reference_math(self):
+        """One step vs hand-computed MpiAdam update (mpi_adam.py:30-35)."""
+        theta = jnp.asarray([1.0, 2.0])
+        g = jnp.asarray([0.5, -1.0])
+        st = adam.init(2)
+        theta2, st2 = adam.update(st, g, theta, stepsize=0.1)
+        t = 1.0
+        a = 0.1 * np.sqrt(1 - 0.999**t) / (1 - 0.9**t)
+        m = 0.1 * np.asarray(g)
+        v = 0.001 * np.square(np.asarray(g))
+        want = np.asarray(theta) - a * m / (np.sqrt(v) + 1e-8)
+        np.testing.assert_allclose(np.asarray(theta2), want, atol=1e-6)
+
+
+class TestMathUtil:
+    def test_explained_variance(self):
+        y = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        assert float(explained_variance(y, y)) == pytest.approx(1.0)
+        assert float(explained_variance(jnp.zeros(4), y)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_discount_with_boundaries(self):
+        x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        new = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        got = discount_with_boundaries(x, new, 0.9)
+        np.testing.assert_allclose(np.asarray(got), [2.8, 2.0, 6.6, 4.0], atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from deepmimic_mujoco_tpu.io_utils import checkpoint
+
+        tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))},
+                "d": jnp.asarray(3)}
+        p = str(tmp_path / "ckpt")
+        checkpoint.save(p, tree)
+        like = jax.tree.map(jnp.zeros_like, tree)
+        loaded = checkpoint.load(p, like)
+        for k in ("a", "d"):
+            np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(tree[k]))
+        np.testing.assert_array_equal(
+            np.asarray(loaded["b"]["c"]), np.asarray(tree["b"]["c"]))
+
+
+class TestDatasets:
+    def test_iterbatches_drops_partial(self):
+        from deepmimic_mujoco_tpu.algos.dataset import iterbatches
+
+        arr = np.arange(10)
+        batches = list(iterbatches(
+            (arr,), batch_size=4, include_final_partial_batch=False, shuffle=False))
+        assert [len(b[0]) for b in batches] == [4, 4]
+
+    def test_mujoco_dset(self, tmp_path):
+        from deepmimic_mujoco_tpu.algos.dataset import MujocoDset
+
+        rng = np.random.RandomState(0)
+        obs = rng.randn(3, 20, 5)
+        acs = rng.randn(3, 20, 2)
+        path = str(tmp_path / "expert.npz")
+        np.savez(path, obs=obs, acs=acs, ep_rets=np.array([1.0, 2.0, 3.0]),
+                 lens=np.array([20, 20, 20]))
+        d = MujocoDset(path, traj_limitation=2)
+        assert d.num_transition == 40
+        ob, ac = d.get_next_batch(8)
+        assert ob.shape == (8, 5) and ac.shape == (8, 2)
+
+
+@pytest.mark.slow
+class TestTRPOSmoke:
+    def test_tiny_iteration_runs_and_respects_kl(self):
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=56, ac_dim=28)
+        cfg = TRPOConfig(horizon=8, num_envs=2, g_step=1, cg_iters=3,
+                         vf_iters=1, vf_batch_size=4)
+        learner = TRPO(env, policy, cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+        state, stats = learner.iteration(state)
+        assert float(stats.meankl) <= cfg.max_kl * 1.5 + 1e-6
+        flat = jax.flatten_util.ravel_pytree(state.params)[0]
+        assert bool(jnp.isfinite(flat).all())
+
+    def test_deterministic(self):
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=56, ac_dim=28)
+        cfg = TRPOConfig(horizon=8, num_envs=2, g_step=1, cg_iters=3,
+                         vf_iters=1, vf_batch_size=4)
+        learner = TRPO(env, policy, cfg)
+        outs = []
+        for _ in range(2):
+            state = learner.init(jax.random.PRNGKey(7))
+            state, _ = learner.iteration(state)
+            outs.append(np.asarray(
+                jax.flatten_util.ravel_pytree(state.params)[0]))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
+class TestGAILSmoke:
+    def test_tiny_iteration(self):
+        from deepmimic_mujoco_tpu.algos.gail import GAIL, GAILConfig
+        from deepmimic_mujoco_tpu.algos.trpo import TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=56, ac_dim=28)
+        rng = np.random.RandomState(0)
+        cfg = GAILConfig(
+            trpo=TRPOConfig(horizon=8, num_envs=2, g_step=1, cg_iters=3,
+                            vf_iters=1, vf_batch_size=4),
+            d_batches=2,
+        )
+        learner = GAIL(env, policy, rng.randn(64, 56), rng.randn(64, 28), cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+        state, stats = learner.iteration(state)
+        assert np.isfinite(float(stats.d_loss))
+        assert 0.0 <= float(stats.gen_acc) <= 1.0

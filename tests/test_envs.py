@@ -1,0 +1,168 @@
+"""Environment layer tests: shapes, reference semantics, vectorization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.envs import DPEnvV1, DPEnvV2, DPEnvV3, VectorEnv
+from deepmimic_mujoco_tpu.envs import rewards
+from deepmimic_mujoco_tpu.mocap.registry import get_clip
+
+
+@pytest.fixture(scope="module")
+def env_v3():
+    return DPEnvV3(clip="walk")
+
+
+@pytest.fixture(scope="module")
+def stepped(env_v3):
+    step = jax.jit(env_v3.step)
+    state = env_v3.reset(jax.random.PRNGKey(0))
+    state = step(state, jnp.zeros(28))
+    return state
+
+
+class TestDPEnvV3:
+    def test_reset_rsi_sets_mocap_frame(self, env_v3):
+        state = env_v3.reset(jax.random.PRNGKey(3))
+        idx = int(state.init_idx)
+        assert 0 <= idx < env_v3.clip_len
+        np.testing.assert_allclose(
+            np.asarray(state.qpos), np.asarray(env_v3.clip_qpos[idx])
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.qvel), np.asarray(env_v3.clip_qvel[idx])
+        )
+
+    def test_reset_init_noise_bounds(self, env_v3):
+        state = env_v3.reset_init(jax.random.PRNGKey(1))
+        d = np.abs(np.asarray(state.qpos) - np.asarray(env_v3.model.qpos0))
+        assert d.max() <= 0.01 + 1e-6
+        assert np.abs(np.asarray(state.qvel)).max() <= 0.01 + 1e-6
+
+    def test_obs_is_56d_root_excluded(self, stepped):
+        assert stepped.obs.shape == (56,)
+        np.testing.assert_allclose(
+            np.asarray(stepped.obs),
+            np.concatenate([np.asarray(stepped.qpos[7:]), np.asarray(stepped.qvel[6:])]),
+        )
+
+    def test_alive_reward_is_one(self, stepped):
+        assert float(stepped.reward) == 1.0
+
+    def test_not_done_at_mocap_frames(self, env_v3):
+        # CoM height of every walk frame is inside (0.7, 2.0) → alive
+        step = jax.jit(env_v3.step)
+        state = env_v3.reset_at(jax.random.PRNGKey(0), 0)
+        state = step(state, jnp.zeros(28))
+        assert not bool(state.done)
+
+    def test_mocap_reward_mode_advances_cursor(self):
+        env = DPEnvV3(clip="walk", reward_mode="mocap")
+        step = jax.jit(env.step)
+        state = env.reset_at(jax.random.PRNGKey(0), 5)
+        s1 = step(state, jnp.zeros(28))
+        assert int(s1.mocap_idx) == 6
+        assert 0.0 < float(s1.reward) <= 1.0
+
+    def test_imitation_reward_in_range(self):
+        env = DPEnvV3(clip="walk", reward_mode="imitation")
+        step = jax.jit(env.step)
+        state = env.reset_at(jax.random.PRNGKey(0), 0)
+        s1 = step(state, jnp.zeros(28))
+        assert 0.0 < float(s1.reward) <= 1.0
+        # at the exact reference frame with matching velocity the reward
+        # should be near its maximum Σweights = 1.0
+        r = rewards.imitation_reward(
+            env.clip_qpos[3][7:], env.clip_qpos[3][7:],
+            env.clip_qvel[3], env.clip_qvel[3],
+            env.clip_qpos[3][0:3], env.clip_qpos[3][0:3],
+            ee_pos=env.clip_ee[3], ref_ee_pos=env.clip_ee[3],
+            com=env.clip_com[3], ref_com=env.clip_com[3],
+        )
+        assert float(r) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestDPEnvV2:
+    def test_obs_67d(self):
+        env = DPEnvV2(clip="walk")
+        state = env.reset(jax.random.PRNGKey(0))
+        assert state.obs.shape == (67,)
+
+    def test_reward_at_reference_pose(self):
+        env = DPEnvV2(clip="walk")
+        step = jax.jit(env.step)
+        state = env.reset(jax.random.PRNGKey(0))
+        s1 = step(state, jnp.zeros(28))
+        # exp(-2 err) - 0.1*0 ∈ (0, 1]
+        assert 0.0 < float(s1.reward) <= 1.0
+        assert int(s1.mocap_idx) == 1
+
+
+class TestDPEnvV1:
+    def test_reward_components(self):
+        env = DPEnvV1(clip="walk")
+        step = jax.jit(env.step)
+        state = env.reset(jax.random.PRNGKey(0))
+        assert state.obs.shape == (67,)
+        s1 = step(state, jnp.zeros(28))
+        assert np.isfinite(float(s1.reward))
+
+    def test_update_interval_gating(self):
+        env = DPEnvV1(clip="walk")
+        # mocap dt 0.0333 / control dt 0.012 → interval 2
+        assert env.update_interval == int(env.mocap_dt // (env.model.dt * env.n_substeps))
+
+
+class TestVectorEnv:
+    def test_batched_rollout_with_autoreset(self):
+        env = DPEnvV3(clip="walk")
+        venv = VectorEnv(env, num_envs=8)
+        state = venv.reset(jax.random.PRNGKey(0))
+        assert state.obs.shape == (8, 56)
+        for _ in range(3):
+            state = venv.step(state, jnp.zeros((8, 28)))
+        assert state.obs.shape == (8, 56)
+        assert np.isfinite(np.asarray(state.obs)).all()
+
+    def test_done_envs_are_reset_to_init(self):
+        env = DPEnvV3(clip="walk")
+        venv = VectorEnv(env, num_envs=4, autoreset="init")
+        state = venv.reset(jax.random.PRNGKey(0))
+        # force "done" by injecting a fallen state: root far below ground
+        qpos = np.array(state.qpos)  # writable copy
+        qpos[:, 2] = 0.1
+        state = jax.tree.map(lambda x: x, state)
+        state = state.__class__(
+            qpos=jnp.asarray(qpos), qvel=state.qvel, obs=state.obs,
+            reward=state.reward, done=state.done, mocap_idx=state.mocap_idx,
+            init_idx=state.init_idx, step_count=state.step_count, key=state.key,
+        )
+        nxt = venv.step(state, jnp.zeros((4, 28)))
+        assert bool(np.all(np.asarray(nxt.done)))
+        # after autoreset the qpos should be near standing qpos0
+        d = np.abs(np.asarray(nxt.qpos) - np.asarray(env.model.qpos0))
+        assert d.max() <= 0.011
+
+
+class TestScanRollout:
+    def test_scan_rollout_compiles_once(self):
+        env = DPEnvV3(clip="walk")
+        venv = VectorEnv(env, num_envs=4)
+
+        @jax.jit
+        def rollout(key):
+            state = venv.reset(key)
+
+            def body(s, _):
+                s2 = venv.step(s, jnp.zeros((4, 28)))
+                return s2, (s2.reward, s2.done)
+
+            state, (rews, dones) = jax.lax.scan(body, state, None, length=5)
+            return rews, dones
+
+        rews, dones = rollout(jax.random.PRNGKey(0))
+        assert rews.shape == (5, 4)
+        np.testing.assert_allclose(np.asarray(rews), 1.0)

@@ -130,8 +130,8 @@ class TestTrajectories:
         qpos[2] = 50.0
         lo, hi = mj_model.jnt_range[1:, 0], mj_model.jnt_range[1:, 1]
         qpos[7:] = 0.5 * (lo + hi)
-        qvel = rng.randn(34) * 0.2
-        ctrl = rng.uniform(-0.2, 0.2, 28)
+        qvel = rng.randn(34) * 0.05
+        ctrl = rng.uniform(-0.05, 0.05, 28)
         d = mujoco.MjData(mj_model)
         d.qpos[:] = qpos
         d.qvel[:] = qvel
