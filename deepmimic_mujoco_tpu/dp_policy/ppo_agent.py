@@ -1,0 +1,327 @@
+"""PPO agent — the original DeepMimic learning stack's PPOAgent
+(reference: /root/reference/src/dp_policy_testing/learning/ppo_agent.py)
+re-designed functional/jitted.
+
+Faithful pieces:
+* fc_2layers_1024units actor & critic on normalized states
+  (ppo_agent.py:52-80; nets/fc_2layers_1024units.py)
+* fixed exploration noise: a = mean + noise·a_norm.std·N(0,1), logp of the
+  *normalized* noise (ppo_agent.py:85-90)
+* losses (ppo_agent.py:93-121): critic = ½·mean((norm(tar) − norm(V))²);
+  actor = −mean(min(ratio·adv, clip(ratio)·adv)) + bound loss
+  (0.5·mean(Σ min(μ̂−bmin,0)² + max(μ̂−bmax,0)²), tf_util.py:65-71)
+  + weight decay
+* TD(λ) targets per path with value clamping to [val_min, val_max] from the
+  reward bounds (ppo_agent.py:285-305; rl_agent.py:421-439)
+* advantages standardized then clipped to ±norm_adv_clip (ppo_agent.py:195-199)
+* momentum-SGD solvers with pmean gradient aggregation (mpi_solver.py:40-54)
+* adaptive actor stepsize on clip fraction (ppo_agent.py:337-363)
+* agent hyperparameters from the JSON spec format
+  (/root/reference/src/data/agents/ct_agent_humanoid_ppo.txt)
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmimic_mujoco_tpu.dp_policy import normalizer
+from deepmimic_mujoco_tpu.dp_policy.exp_params import ExpParams
+from deepmimic_mujoco_tpu.dp_policy.nets import apply_relu_mlp, build_net
+from deepmimic_mujoco_tpu.models.mlp import normc_init
+from deepmimic_mujoco_tpu.parallel.collectives import maybe_pmean
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+class MomentumState(NamedTuple):
+    """TF MomentumOptimizer accumulator (mpi_solver wraps this)."""
+
+    m: Any
+
+
+def momentum_update(state, grads, params, lr, momentum=0.9):
+    m = jax.tree.map(lambda a, g: momentum * a + g, state.m, grads)
+    params = jax.tree.map(lambda p, a: p - lr * a, params, m)
+    return params, MomentumState(m=m)
+
+
+DEFAULT_SPEC = {
+    "AgentType": "PPO",
+    "ActorNet": "fc_2layers_1024units",
+    "ActorStepsize": 2.5e-6,
+    "ActorMomentum": 0.9,
+    "ActorWeightDecay": 0.0005,
+    "ActorInitOutputScale": 0.01,
+    "CriticNet": "fc_2layers_1024units",
+    "CriticStepsize": 0.01,
+    "CriticMomentum": 0.9,
+    "CriticWeightDecay": 0,
+    "Discount": 0.95,
+    "BatchSize": 4096,
+    "MiniBatchSize": 256,
+    "Epochs": 1,
+    "ReplayBufferSize": 500000,
+    "RatioClip": 0.2,
+    "NormAdvClip": 4,
+    "TDLambda": 0.95,
+    "TarClipFrac": -1,
+    "ActorStepsizeDecay": 0.5,
+    "ExpAnnealSamples": 64000000,
+    "ExpParamsBeg": {"Rate": 1, "Noise": 0.05},
+    "ExpParamsEnd": {"Rate": 0.2, "Noise": 0.05},
+}
+
+
+class PPOAgent:
+    def __init__(self, state_size: int, action_size: int,
+                 spec: Optional[dict] = None,
+                 action_bounds: Optional[tuple] = None,
+                 reward_bounds: tuple = (0.0, 1.0),
+                 axis_name: Optional[str] = None):
+        self.spec = {**DEFAULT_SPEC, **(spec or {})}
+        s = self.spec
+        self.state_size = state_size
+        self.action_size = action_size
+        self.axis_name = axis_name
+        self.discount = float(s["Discount"])
+        self.td_lambda = float(s["TDLambda"])
+        self.ratio_clip = float(s["RatioClip"])
+        self.norm_adv_clip = float(s["NormAdvClip"])
+        self.mini_batch_size = int(s["MiniBatchSize"])
+        self.batch_size = int(s["BatchSize"])
+        self.epochs = int(s["Epochs"])
+        self.actor_wd = float(s["ActorWeightDecay"])
+        self.critic_wd = float(s["CriticWeightDecay"])
+        self.tar_clip_frac = float(s["TarClipFrac"])
+        self.stepsize_decay = float(s["ActorStepsizeDecay"])
+        self.exp_beg = ExpParams.from_json(s["ExpParamsBeg"])
+        self.exp_end = ExpParams.from_json(s["ExpParamsEnd"])
+        self.exp_anneal_samples = float(s["ExpAnnealSamples"])
+
+        # value bounds from reward bounds (rl_agent.py:421-439)
+        r_min, r_max = reward_bounds
+        self.val_min = r_min / (1.0 - self.discount)
+        self.val_max = r_max / (1.0 - self.discount)
+
+        if action_bounds is None:
+            action_bounds = (-0.5 * np.ones(action_size), 0.5 * np.ones(action_size))
+        self.a_bound_min = jnp.asarray(action_bounds[0], jnp.float32)
+        self.a_bound_max = jnp.asarray(action_bounds[1], jnp.float32)
+
+        self.s_norm = normalizer.make(state_size)
+        self.a_norm = normalizer.make(action_size)
+        self.val_norm = normalizer.make(1)
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> dict:
+        k_a, k_c, k_out = jax.random.split(key, 3)
+        actor = build_net(self.spec["ActorNet"], k_a, self.state_size,
+                          self.action_size)
+        # ActorInitOutputScale on the output layer (ppo_agent.py:62-66)
+        actor[-1]["w"] = normc_init(
+            k_out, actor[-1]["w"].shape,
+            scale=float(self.spec["ActorInitOutputScale"]))
+        critic = build_net(self.spec["CriticNet"], k_c, self.state_size, 1)
+        a_mid = 0.5 * (self.a_bound_min + self.a_bound_max)
+        a_span = 0.5 * (self.a_bound_max - self.a_bound_min)
+        return {
+            "actor": actor,
+            "critic": critic,
+            "s_norm": normalizer.init(self.state_size),
+            "a_norm": normalizer.init(
+                self.action_size, init_mean=a_mid, init_std=a_span),
+            "val_norm": normalizer.init(1),
+            "actor_opt": MomentumState(jax.tree.map(jnp.zeros_like, actor)),
+            "critic_opt": MomentumState(jax.tree.map(jnp.zeros_like, critic)),
+            "actor_stepsize": jnp.asarray(float(self.spec["ActorStepsize"])),
+            "sample_count": jnp.zeros((), jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def exp_params_at(self, sample_count) -> tuple:
+        """(rate, noise) annealed by sample count (rl_agent.py:358-362)."""
+        t = jnp.clip(sample_count / self.exp_anneal_samples, 0.0, 1.0)
+        rate = (1 - t) * self.exp_beg.rate + t * self.exp_end.rate
+        noise = (1 - t) * self.exp_beg.noise + t * self.exp_end.noise
+        return rate, noise
+
+    def actor_mean(self, params, s):
+        s_n = self.s_norm.normalize(params["s_norm"], s)
+        return apply_relu_mlp(params["actor"], s_n)
+
+    def eval_critic(self, params, s):
+        s_n = self.s_norm.normalize(params["s_norm"], s)
+        v_n = apply_relu_mlp(params["critic"], s_n)[..., 0]
+        return self.val_norm.unnormalize(params["val_norm"], v_n[..., None])[..., 0]
+
+    def decide_action(self, params, key, s, exploring):
+        """(action, logp) — mean + noise·a_std exploration with logp of the
+        normalized noise (ppo_agent.py:85-90,147-164)."""
+        _, noise_std = self.exp_params_at(params["sample_count"])
+        mean = self.actor_mean(params, s)
+        norm_noise = noise_std * jax.random.normal(key, mean.shape)
+        norm_noise = norm_noise * jnp.asarray(exploring, mean.dtype)
+        a = mean + norm_noise * params["a_norm"].std
+        logp = -0.5 * jnp.sum(jnp.square(norm_noise / noise_std), axis=-1) \
+            - 0.5 * self.action_size * _LOG2PI \
+            - self.action_size * jnp.log(noise_std)
+        return a, logp
+
+    def get_action(self, params, s):
+        """Deterministic action for inference (GetAction.py usage)."""
+        return self.actor_mean(params, jnp.asarray(s, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def compute_new_vals(self, rewards, vals, path_end):
+        """TD(λ) targets per path (ppo_agent.py:291-305, rl_util.py
+        compute_return): backward scan resetting at path ends; vals has one
+        extra bootstrap entry per step (vals[t+1])."""
+        lam, gamma = self.td_lambda, self.discount
+
+        def body(carry, xs):
+            r, v_next, is_end = xs
+            nonterm = 1.0 - is_end
+            ret = r + gamma * ((1 - lam) * v_next + lam * carry) * nonterm \
+                + gamma * v_next * is_end * 0.0
+            return ret, ret
+
+        _, new_vals = jax.lax.scan(
+            body, jnp.zeros_like(rewards[0]),
+            (rewards, vals[1:], path_end.astype(rewards.dtype)), reverse=True)
+        return new_vals
+
+    def losses(self, params, s, a, old_logp, adv, tar_vals):
+        """actor/critic losses (ppo_agent.py:93-121)."""
+        # critic
+        v_n = apply_relu_mlp(
+            params["critic"], self.s_norm.normalize(params["s_norm"], s))[..., 0]
+        tar_n = self.val_norm.normalize(params["val_norm"], tar_vals[..., None])[..., 0]
+        critic_loss = 0.5 * jnp.mean(jnp.square(tar_n - v_n))
+        if self.critic_wd:
+            critic_loss += self.critic_wd * 0.5 * sum(
+                jnp.sum(jnp.square(l["w"])) for l in params["critic"])
+
+        # actor
+        _, noise_std = self.exp_params_at(params["sample_count"])
+        mean = self.actor_mean(params, s)
+        norm_mean = self.a_norm.normalize(params["a_norm"], mean)
+        norm_a = self.a_norm.normalize(params["a_norm"], a)
+        logp = -0.5 * jnp.sum(jnp.square((norm_a - norm_mean) / noise_std), axis=-1) \
+            - 0.5 * self.action_size * _LOG2PI \
+            - self.action_size * jnp.log(noise_std)
+        ratio = jnp.exp(logp - old_logp)
+        surr0 = adv * ratio
+        surr1 = adv * jnp.clip(ratio, 1.0 - self.ratio_clip, 1.0 + self.ratio_clip)
+        actor_loss = -jnp.mean(jnp.minimum(surr0, surr1))
+        # bound loss on normalized mean (tf_util.py:65-71)
+        bmin = self.a_norm.normalize(params["a_norm"], self.a_bound_min)
+        bmax = self.a_norm.normalize(params["a_norm"], self.a_bound_max)
+        v_min = jnp.minimum(norm_mean - bmin, 0.0)
+        v_max = jnp.maximum(norm_mean - bmax, 0.0)
+        actor_loss += 0.5 * jnp.mean(
+            jnp.sum(jnp.square(v_min), -1) + jnp.sum(jnp.square(v_max), -1))
+        if self.actor_wd:
+            actor_loss += self.actor_wd * 0.5 * sum(
+                jnp.sum(jnp.square(l["w"])) for l in params["actor"])
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > self.ratio_clip).astype(jnp.float32))
+        return critic_loss, actor_loss, clip_frac
+
+    @partial(jax.jit, static_argnums=0)
+    def update(self, params, key, states, actions, logps, rewards, path_end):
+        """One training update from a batch of path-structured transitions
+        (states has one extra bootstrap row; ppo_agent.py:170-260)."""
+        vals = self.eval_critic(params, states)
+        new_vals = self.compute_new_vals(rewards, vals, path_end)
+        adv = new_vals - vals[:-1]
+        new_vals = jnp.clip(new_vals, self.val_min, self.val_max)
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-5)
+        adv = jnp.clip(adv, -self.norm_adv_clip, self.norm_adv_clip)
+
+        n = rewards.shape[0]
+        nmb = max(1, n // self.mini_batch_size)
+        s_t = states[:-1]
+
+        def epoch(carry, k_ep):
+            params, closs, aloss, cfrac = carry
+            perm = jax.random.permutation(k_ep, n)
+            mb_idx = perm[: nmb * self.mini_batch_size].reshape(nmb, -1)
+
+            # two separate solvers, matching the reference's split updates
+            def mb_step(carry, idx):
+                params, closs, aloss, cfrac = carry
+                s, a = s_t[idx], actions[idx]
+                lp, ad, tv = logps[idx], adv[idx], new_vals[idx]
+
+                def critic_loss_fn(critic):
+                    p = {**params, "critic": critic}
+                    cl, _, _ = self.losses(p, s, a, lp, ad, tv)
+                    return cl
+
+                cl, cg = jax.value_and_grad(critic_loss_fn)(params["critic"])
+                cg = maybe_pmean(cg, self.axis_name)
+                critic, copt = momentum_update(
+                    params["critic_opt"], cg, params["critic"],
+                    float(self.spec["CriticStepsize"]),
+                    float(self.spec["CriticMomentum"]))
+
+                def actor_loss_fn(actor):
+                    p = {**params, "actor": actor}
+                    _, al, cf = self.losses(p, s, a, lp, ad, tv)
+                    return al, cf
+
+                (al, cf), ag = jax.value_and_grad(
+                    actor_loss_fn, has_aux=True)(params["actor"])
+                ag = maybe_pmean(ag, self.axis_name)
+                actor, aopt = momentum_update(
+                    params["actor_opt"], ag, params["actor"],
+                    params["actor_stepsize"],
+                    float(self.spec["ActorMomentum"]))
+                params = {**params, "critic": critic, "critic_opt": copt,
+                          "actor": actor, "actor_opt": aopt}
+                return (params, closs + cl, aloss + jnp.abs(al), cfrac + cf), None
+
+            (params, closs, aloss, cfrac), _ = jax.lax.scan(
+                mb_step, (params, closs, aloss, cfrac), mb_idx)
+            return (params, closs, aloss, cfrac), None
+
+        keys = jax.random.split(key, self.epochs)
+        zero = jnp.zeros((), jnp.float32)
+        (params, closs, aloss, cfrac), _ = jax.lax.scan(
+            epoch, (params, zero, zero, zero), keys)
+        total = self.epochs * nmb
+        closs, aloss, cfrac = closs / total, aloss / total, cfrac / total
+        closs = maybe_pmean(closs, self.axis_name)
+        aloss = maybe_pmean(aloss, self.axis_name)
+        cfrac = maybe_pmean(cfrac, self.axis_name)
+
+        # adaptive actor stepsize on clip fraction (ppo_agent.py:337-363)
+        stepsize = params["actor_stepsize"]
+        if self.tar_clip_frac >= 0:
+            over = cfrac > self.tar_clip_frac * 1.5
+            under = cfrac < self.tar_clip_frac / 1.5
+            stepsize = jnp.where(over, stepsize * self.stepsize_decay, stepsize)
+            stepsize = jnp.where(under, stepsize / self.stepsize_decay, stepsize)
+            stepsize = jnp.clip(stepsize, 1e-8, 1e-2)
+        # normalizer / sample-count bookkeeping
+        s_norm = self.s_norm.update(params["s_norm"], states, self.axis_name)
+        val_norm = self.val_norm.update(
+            params["val_norm"], new_vals[..., None], self.axis_name)
+        params = {**params, "actor_stepsize": stepsize, "s_norm": s_norm,
+                  "val_norm": val_norm,
+                  "sample_count": params["sample_count"] + n}
+        metrics = {"critic_loss": closs, "actor_loss": aloss,
+                   "clip_frac": cfrac, "actor_stepsize": stepsize}
+        return params, metrics
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def load_spec(path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
