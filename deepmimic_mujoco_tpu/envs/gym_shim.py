@@ -67,6 +67,32 @@ class GymEnv(gymnasium.Env if _HAS_GYM else object):
         return self._state
 
 
+def register_gym_envs() -> None:
+    """Register the envs with gymnasium — the reference ships installable gym
+    packages registering 'HumanoidDeepMimic-v0' etc.
+    (/root/reference/src/mujoco/humanoid_deepmimic/__init__.py:1-9)."""
+    if not _HAS_GYM:
+        return
+    from gymnasium.envs.registration import register, registry
+
+    specs = {
+        "HumanoidDeepMimic-v0": {"entry": "DPEnvV3", "kwargs": {}},
+        "HumanoidDeepMimicExtraHard-v0": {
+            "entry": "DPEnvV3", "kwargs": {"reward_mode": "imitation"}},
+        "DPEnvV3-v0": {"entry": "DPEnvV3", "kwargs": {}},
+        "DPEnvV2-v0": {"entry": "DPEnvV2", "kwargs": {}},
+        "DPEnvV1-v0": {"entry": "DPEnvV1", "kwargs": {}},
+    }
+    for env_id, spec in specs.items():
+        if env_id in registry:
+            continue
+        register(
+            id=env_id,
+            entry_point=lambda entry=spec["entry"], kw=spec["kwargs"], **kwargs:
+                make(entry, **{**kw, **kwargs}),
+        )
+
+
 def make(env_id: str = "DPEnvV3", **kwargs) -> "GymEnv":
     """Registry-style constructor: DPEnvV1/V2/V3, HumanoidTest."""
     from deepmimic_mujoco_tpu.envs import DPEnvV1, DPEnvV2, DPEnvV3, HumanoidTestEnv

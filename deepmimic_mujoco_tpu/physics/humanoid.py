@@ -97,8 +97,14 @@ _JOINT_ORDER = [
 
 
 def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
-                   iterations: int = 50) -> PhysicsModel:
-    b = ModelBuilder(dt=dt, integrator=integrator, iterations=iterations)
+                   iterations: int = 50, contact_cap: int = 16,
+                   limit_cap: int = 16) -> PhysicsModel:
+    """``contact_cap``/``limit_cap`` bound the number of *simultaneously
+    active* constraint rows the solver resolves (deepest-first top-k).  16 is
+    ample for upright/locomotion tasks (two feet = 8 corner contacts); pass
+    a large value for full-fidelity pile-up scenarios."""
+    b = ModelBuilder(dt=dt, integrator=integrator, iterations=iterations,
+                     max_contacts=contact_cap, max_limits=limit_cap)
     for name, parent, pos in _BODIES:
         b.add_body(name, parent, pos=pos)
     for g_name, g_body, g_type, g_mass, spec in _GEOMS:

@@ -67,6 +67,8 @@ class PhysicsModel:
     solimp: Any          # (5,) dmin, dmax, width, midpoint, power
     # --- static metadata ---
     parent: tuple = ()                # per-body parent index, -1 = world (static topology)
+    max_contacts: int = 1 << 30       # top-k cap on simultaneous floor contacts
+    max_limits: int = 1 << 30         # top-k cap on simultaneous limit rows
     dt: float = 0.0166
     iterations: int = 50
     integrator: str = "rk4"           # "rk4" | "euler"
@@ -100,7 +102,8 @@ jax.tree_util.register_dataclass(
         "ancestor_mask", "qpos0", "gravity", "solref", "solimp",
     ],
     meta_fields=[
-        "parent", "dt", "iterations", "integrator", "nbody", "nq", "nv", "nhinge",
+        "parent", "max_contacts", "max_limits",
+        "dt", "iterations", "integrator", "nbody", "nq", "nv", "nhinge",
         "nu", "ncand", "body_hinges", "geom_type", "body_names",
         "geom_names", "hinge_names",
     ],
@@ -162,7 +165,10 @@ class ModelBuilder:
     """Programmatic model construction (MJCF-equivalent API surface)."""
 
     def __init__(self, dt: float = 0.0166, integrator: str = "rk4",
-                 iterations: int = 50, gravity=(0.0, 0.0, -9.81)):
+                 iterations: int = 50, gravity=(0.0, 0.0, -9.81),
+                 max_contacts: int = 1 << 30, max_limits: int = 1 << 30):
+        self.max_contacts = max_contacts
+        self.max_limits = max_limits
         self.bodies: list[_Body] = []
         self.hinges: list[_Hinge] = []
         self.geoms: list[_Geom] = []
@@ -294,6 +300,8 @@ class ModelBuilder:
         i32 = lambda x: np.asarray(x, np.int32)
 
         return PhysicsModel(
+            max_contacts=int(self.max_contacts),
+            max_limits=int(self.max_limits),
             parent=tuple(b.parent for b in self.bodies),
             body_pos=f32([b.pos for b in self.bodies]),
             body_quat=f32([b.quat for b in self.bodies]),

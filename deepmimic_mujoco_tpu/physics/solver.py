@@ -75,18 +75,37 @@ def solve_constraints(
     contacts: Contacts,
     limits: Limits,
 ) -> EfcSolution:
+    """Solve for constraint forces.  Before assembly, the candidate set is
+    reduced to the ``max_contacts``/``max_limits`` *deepest* rows via top-k —
+    identical forces as long as the number of simultaneously active
+    constraints stays within the caps (inactive rows contribute zero), at a
+    fraction of the dense-solve cost.  Returns forces scattered back to the
+    full candidate layout."""
     nv = model.nv
-    nc = contacts.pos.shape[0]
-    nl = limits.pos.shape[0]
+    nc_full = contacts.pos.shape[0]
+    nl_full = limits.pos.shape[0]
     dtype = qacc_smooth.dtype
+
+    # ---- top-k selection of deepest candidates (static shapes) ----
+    nc = min(getattr(model, "max_contacts", nc_full), nc_full)
+    nl = min(getattr(model, "max_limits", nl_full), nl_full)
+    _, c_sel = jax.lax.top_k(-contacts.pos, nc)
+    _, l_sel = jax.lax.top_k(-limits.pos, nl)
+    contacts = Contacts(pos=contacts.pos[c_sel], active=contacts.active[c_sel],
+                        jac=contacts.jac[c_sel], mu=contacts.mu[c_sel])
+    limits_sel = Limits(pos=limits.pos[l_sel], active=limits.active[l_sel],
+                        sign=limits.sign[l_sel])
+    lim_dof = l_sel  # hinge index per selected limit row
 
     # ---- assemble constraint rows (static shape, masked) ----
     c_act = contacts.active[:, None]
     j_c = jnp.where(c_act[..., None], contacts.jac, 0.0).reshape(nc * 3, nv)
 
-    lim_rows = limits.sign[:, None] * jnp.eye(nl, dtype=dtype)  # d(dist)/dq
-    j_l = jnp.concatenate([jnp.zeros((nl, 6), dtype), lim_rows], axis=1)
-    j_l = jnp.where(limits.active[:, None], j_l, 0.0)
+    # limit rows: ±e_{6+dof}
+    j_l = jnp.zeros((nl, nv), dtype)
+    j_l = j_l.at[jnp.arange(nl), 6 + lim_dof].set(limits_sel.sign)
+    j_l = jnp.where(limits_sel.active[:, None], j_l, 0.0)
+    limits = limits_sel
 
     j = jnp.concatenate([j_c, j_l], axis=0)  # (ne, nv)
     ne = nc * 3 + nl
@@ -148,4 +167,10 @@ def solve_constraints(
     f = jnp.where(act_rows, f, 0.0)
 
     qfrc = j.T @ f
-    return EfcSolution(qfrc_constraint=qfrc, force=f)
+
+    # scatter forces back to the full candidate layout
+    full = jnp.zeros(nc_full * 3 + nl_full, dtype)
+    row_idx = (c_sel[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
+    full = full.at[row_idx].set(f[: nc * 3])
+    full = full.at[nc_full * 3 + lim_dof].set(f[nc * 3:])
+    return EfcSolution(qfrc_constraint=qfrc, force=full)

@@ -60,5 +60,5 @@ def load_results(path: str):
         header = json.loads(first[1:])
         df = pandas.read_csv(f, index_col=None)
     df["t"] += header["t_start"]
-    df.headers = header  # type: ignore[attr-defined]
+    df.attrs["headers"] = header
     return df
