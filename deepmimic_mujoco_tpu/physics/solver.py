@@ -25,6 +25,19 @@ import jax.numpy as jnp
 from deepmimic_mujoco_tpu.physics.collision import Contacts, Limits
 from deepmimic_mujoco_tpu.physics.model import PhysicsModel
 
+import os
+
+
+def use_pallas() -> bool:
+    """Whether vmapped solves dispatch to the Pallas TPU kernel.
+    DMTPU_PALLAS=1/0 overrides; default: on iff running on TPU."""
+    v = os.environ.get("DMTPU_PALLAS")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 
 
@@ -140,30 +153,12 @@ def solve_constraints(
     a = a + jnp.diag(r)
     bvec = j @ qacc_smooth - aref
 
-    # ---- APGD iteration ----
-    mu = contacts.mu
-    # Gershgorin upper bound on the largest eigenvalue of A
-    lip = jnp.max(jnp.sum(jnp.abs(a), axis=1))
-    step = 1.0 / jnp.maximum(lip, 1e-8)
+    # ---- APGD iteration (Pallas kernel under vmap on TPU; XLA scan
+    # otherwise — see ops/apgd.py) ----
+    from deepmimic_mujoco_tpu.ops.apgd import make_apgd
 
-    def project(f):
-        fc = _project_cone(f[: nc * 3].reshape(nc, 3), mu).reshape(-1)
-        fl = jnp.maximum(f[nc * 3:], 0.0)
-        return jnp.concatenate([fc, fl])
-
-    def iteration(carry, _):
-        f_prev, y, t = carry
-        g = a @ y + bvec
-        f_new = project(y - step * g)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        y_new = f_new + ((t - 1.0) / t_new) * (f_new - f_prev)
-        return (f_new, y_new, t_new), None
-
-    f0 = jnp.zeros(ne, dtype)
-    (f, _, _), _ = jax.lax.scan(
-        iteration, (f0, f0, jnp.asarray(1.0, dtype)), None,
-        length=model.iterations,
-    )
+    apgd = make_apgd(int(model.iterations), int(nc), int(nl), use_pallas())
+    f = apgd(a, bvec, contacts.mu)
     f = jnp.where(act_rows, f, 0.0)
 
     qfrc = j.T @ f

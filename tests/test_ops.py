@@ -1,0 +1,74 @@
+"""Pallas kernel tests (interpret mode on CPU; numerics vs the XLA scan)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepmimic_mujoco_tpu.ops import apgd
+
+
+def _random_problem(rng, B, nc, nl):
+    ne = nc * 3 + nl
+    # SPD A with regularization
+    M = rng.randn(B, ne, ne)
+    A = np.einsum("bij,bkj->bik", M, M) / ne + 0.5 * np.eye(ne)
+    b = rng.randn(B, ne)
+    mu = np.full((B, nc), 1.0)
+    return (jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.asarray(mu, jnp.float32))
+
+
+class TestAPGD:
+    def test_pallas_interpret_matches_scan(self):
+        rng = np.random.RandomState(0)
+        nc, nl, B = 4, 5, 8
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        scan_out = jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=60,
+                                               nc=nc, nl=nl))(A, b, mu)
+        pallas_out = apgd.apgd_solve(A, b, mu, iterations=60, nc=nc, nl=nl,
+                                     block=4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(pallas_out), np.asarray(scan_out), atol=1e-4)
+
+    def test_custom_vmap_dispatch_fallback(self):
+        """With use_pallas=False the custom-vmap rule runs the scan batch."""
+        rng = np.random.RandomState(1)
+        nc, nl, B = 3, 2, 5
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        fn = apgd.make_apgd(40, nc, nl, use_pallas=False)
+        out_v = jax.vmap(fn)(A, b, mu)
+        out_s = jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+                                               nc=nc, nl=nl))(A, b, mu)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_s),
+                                   atol=1e-6)
+
+    def test_custom_vmap_pallas_interpret_with_padding(self):
+        """Pallas dispatch pads B=5 → block 4 multiple and slices back."""
+        rng = np.random.RandomState(2)
+        nc, nl, B = 3, 2, 5
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        fn = apgd.make_apgd(40, nc, nl, use_pallas=True, block=4,
+                            interpret=True)
+        out = jax.vmap(fn)(A, b, mu)
+        ref = jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+                                               nc=nc, nl=nl))(A, b, mu)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_solution_satisfies_cone(self):
+        rng = np.random.RandomState(3)
+        nc, nl, B = 4, 3, 4
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        out = np.asarray(jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=100,
+                                               nc=nc, nl=nl))(A, b, mu))
+        fc = out[:, : nc * 3].reshape(B, nc, 3)
+        fn_ = fc[..., 0]
+        ft = np.linalg.norm(fc[..., 1:], axis=-1)
+        assert (fn_ >= -1e-6).all()
+        assert (ft <= fn_ * 1.0 + 1e-4).all()
+        assert (out[:, nc * 3:] >= -1e-6).all()
