@@ -78,6 +78,55 @@ def load_monitor_results(dirname: str):
     return [load_results(f) for f in files]
 
 
+def plot_results(dirs, out_path: Optional[str] = None, xy_fn=None,
+                 split_fn=None, group_fn=None, average_group: bool = False,
+                 shaded_std: bool = True, figsize=(8, 5)):
+    """Group-averaged multi-run plotting (reference plot_util.plot_results,
+    plot_util.py:240-390, simplified): one curve per run, optionally
+    averaged per group with a ±std band."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    runs = []
+    for d in dirs:
+        for df in load_monitor_results(d):
+            runs.append((d, df))
+    group_fn = group_fn or (lambda run: run[0])
+    xy_fn = xy_fn or (lambda run: (
+        np.cumsum(run[1]["l"].values), smooth(run[1]["r"].values, 10)))
+
+    groups: dict = {}
+    for run in runs:
+        groups.setdefault(group_fn(run), []).append(xy_fn(run))
+
+    fig, ax = plt.subplots(figsize=figsize)
+    for gname, xys in sorted(groups.items()):
+        if average_group and len(xys) > 1:
+            low = max(x[0] for x, _ in xys)
+            high = min(x[-1] for x, _ in xys)
+            grid = np.linspace(low, high, 256)
+            ys = np.stack([np.interp(grid, x, y) for x, y in xys])
+            mean, std = ys.mean(0), ys.std(0)
+            ax.plot(grid, mean, label=str(gname))
+            if shaded_std:
+                ax.fill_between(grid, mean - std, mean + std, alpha=0.2)
+        else:
+            for x, y in xys:
+                ax.plot(x, y, label=str(gname))
+    ax.legend()
+    ax.set_xlabel("environment steps")
+    ax.set_ylabel("episode reward")
+    if out_path:
+        fig.savefig(out_path)
+        plt.close(fig)
+        return out_path
+    return fig
+
+
 def plot_curve(log_dir: str, out_path: Optional[str] = None,
                env_name: str = "DeepMimic", radius: int = 10):
     """Reward-vs-steps figure from monitor CSVs

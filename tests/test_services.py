@@ -151,3 +151,30 @@ class TestVecNormalize:
         assert obs.shape == (4, 56)
         assert np.abs(np.asarray(obs)).max() <= 10.0
         assert np.isfinite(np.asarray(rew)).all()
+
+
+class TestTileImages:
+    def test_grid(self):
+        from deepmimic_mujoco_tpu.utils.tile_images import tile_images
+
+        imgs = np.ones((3, 4, 5, 3))
+        out = tile_images(imgs)
+        assert out.shape == (8, 10, 3)  # 2x2 grid of 4x5
+
+
+class TestPlotResults:
+    def test_group_average(self, tmp_path):
+        from deepmimic_mujoco_tpu.utils.monitor import Monitor
+        from deepmimic_mujoco_tpu.utils.plotting import plot_results
+
+        for run in range(2):
+            d = tmp_path / f"run{run}"
+            d.mkdir()
+            m = Monitor(str(d / "m.monitor.csv"))
+            for i in range(40):
+                m.record(float(i + run), i + 1)
+            m.close()
+        out = plot_results(
+            str(tmp_path), out_path=str(tmp_path / "fig.svg"),
+            group_fn=lambda run: "all", average_group=True)
+        assert os.path.exists(out)
