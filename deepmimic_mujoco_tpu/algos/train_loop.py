@@ -60,6 +60,14 @@ def train(
 
         state, stats = learner.iteration(state)
 
+        # NaN tripwire (the reference asserts finite steps, trpo.py:257, and
+        # rejects non-finite line-search losses, trpo.py:272-273; here a
+        # corrupted state would otherwise propagate silently across iters)
+        if not np.isfinite(float(stats.meankl)):
+            raise FloatingPointError(
+                f"non-finite meankl at iter {iters_so_far}; "
+                "aborting (resume from the last checkpoint)")
+
         ep_count = int(stats.ep_count)
         if ep_count > 0:
             mean_ret = float(stats.ep_ret_sum) / ep_count
