@@ -23,22 +23,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _project(f, mu, nc, nl):
-    """Cone projection: contact 3-blocks (elliptic, friction mu) + limit
-    clamping.  f: (BLK, ne); mu: (BLK, nc)."""
-    fc = f[:, : nc * 3].reshape(f.shape[0], nc, 3)
-    fn = fc[..., 0]
-    ft = fc[..., 1:]
-    t = jnp.sqrt(jnp.sum(ft * ft, axis=-1) + 1e-20)
+    """Cone projection in the GROUPED layout ``[fn(nc) | ft1(nc) | ft2(nc) |
+    limits(nl)]``: contact columns project onto the elliptic friction cone,
+    limit columns clamp to f ≥ 0.  f: (BLK, ne); mu: (BLK, nc).
+
+    Grouped (planar) layout instead of interleaved [n,t1,t2]-triples because
+    Mosaic cannot lower (BLK, ne) → (BLK, nc, 3) vector reshapes; static lane
+    slices + concat it handles fine."""
+    fn = f[:, :nc]
+    f1 = f[:, nc: 2 * nc]
+    f2 = f[:, 2 * nc: 3 * nc]
+    t = jnp.sqrt(f1 * f1 + f2 * f2 + 1e-20)
     inside = t <= mu * fn
     below = mu * t <= -fn
     fn_p = jnp.maximum((fn + mu * t) / (1.0 + mu * mu), 0.0)
     scale = jnp.where(t > 1e-12, mu * fn_p / jnp.maximum(t, 1e-12), 0.0)
-    f_proj = jnp.concatenate([fn_p[..., None], ft * scale[..., None]], axis=-1)
-    f_keep = jnp.concatenate([jnp.maximum(fn, 0.0)[..., None], ft], axis=-1)
-    out = jnp.where(inside[..., None], f_keep, f_proj)
-    out = jnp.where(below[..., None], jnp.zeros_like(out), out)
-    fl = jnp.maximum(f[:, nc * 3:], 0.0)
-    return jnp.concatenate([out.reshape(f.shape[0], nc * 3), fl], axis=-1)
+    fn_out = jnp.where(inside, jnp.maximum(fn, 0.0), fn_p)
+    f1_out = jnp.where(inside, f1, f1 * scale)
+    f2_out = jnp.where(inside, f2, f2 * scale)
+    zero = jnp.zeros_like(fn)
+    fn_out = jnp.where(below, zero, fn_out)
+    f1_out = jnp.where(below, zero, f1_out)
+    f2_out = jnp.where(below, zero, f2_out)
+    fl = jnp.maximum(f[:, 3 * nc:], 0.0)
+    return jnp.concatenate([fn_out, f1_out, f2_out, fl], axis=-1)
+
+
+def _group_perm(nc: int, nl: int):
+    """Permutation grouped→interleaved: ``x_grouped = x_interleaved[perm]``.
+    Grouped index g maps to interleaved row perm[g]."""
+    import numpy as np
+
+    perm = np.concatenate([
+        np.arange(nc) * 3,          # normals
+        np.arange(nc) * 3 + 1,      # tangent 1
+        np.arange(nc) * 3 + 2,      # tangent 2
+        3 * nc + np.arange(nl),     # limits
+    ]).astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
 
 
 def _apgd_kernel(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
@@ -68,7 +92,11 @@ def _apgd_kernel(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
 
 def _apgd_scan(a, b, mu, *, iterations, nc, nl):
     """Per-env reference implementation (XLA scan) — also the grad-safe and
-    CPU path."""
+    CPU path.  Takes the INTERLEAVED [n,t1,t2]-triple layout and permutes to
+    the grouped layout internally (pure relabeling — identical iterates)."""
+    perm, inv = _group_perm(nc, nl)
+    a = a[perm][:, perm]
+    b = b[perm]
     lip = jnp.max(jnp.sum(jnp.abs(a), axis=-1))
     step = 1.0 / jnp.maximum(lip, 1e-8)
 
@@ -87,7 +115,7 @@ def _apgd_scan(a, b, mu, *, iterations, nc, nl):
     (f, _, _), _ = jax.lax.scan(
         iteration, (f0, f0, jnp.asarray(1.0, b.dtype)), None,
         length=iterations)
-    return f
+    return f[inv]
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,9 +142,14 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
                 [a, jnp.broadcast_to(jnp.eye(ne, dtype=a.dtype), (pad, ne, ne))])
             b = jnp.concatenate([b, jnp.zeros((pad, ne), b.dtype)])
             mu = jnp.concatenate([mu, jnp.ones((pad, nc), mu.dtype)])
+        # interleaved → grouped layout (the kernel's projection works on
+        # [fn | ft1 | ft2 | limits] planes; Mosaic can't reshape to triples)
+        perm, inv = _group_perm(nc, nl)
+        a = a[:, perm][:, :, perm]
+        b = b[:, perm]
         out = apgd_solve(a, b, mu, iterations=iterations, nc=nc, nl=nl,
                          block=block, interpret=interpret)
-        return out[:B], True
+        return out[:B, inv], True
 
     return fn
 
@@ -126,7 +159,8 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
 def apgd_solve(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
                iterations: int, nc: int, nl: int, block: int = 8,
                interpret: bool = False) -> jnp.ndarray:
-    """Batched APGD solve.
+    """Batched APGD solve in the GROUPED constraint layout
+    ``[fn(nc) | ft1(nc) | ft2(nc) | limits(nl)]`` (see ``_group_perm``).
 
     a: (B, ne, ne); b: (B, ne); mu: (B, nc) → f (B, ne).
     B must be a multiple of ``block`` (callers pad)."""

@@ -28,8 +28,12 @@ class TestAPGD:
         scan_out = jax.vmap(
             lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=60,
                                                nc=nc, nl=nl))(A, b, mu)
-        pallas_out = apgd.apgd_solve(A, b, mu, iterations=60, nc=nc, nl=nl,
-                                     block=4, interpret=True)
+        # apgd_solve's contract is the GROUPED [fn|ft1|ft2|lim] layout;
+        # permute interleaved inputs in and the solution back out.
+        perm, inv = apgd._group_perm(nc, nl)
+        pallas_out = apgd.apgd_solve(
+            A[:, perm][:, :, perm], b[:, perm], mu,
+            iterations=60, nc=nc, nl=nl, block=4, interpret=True)[:, inv]
         np.testing.assert_allclose(
             np.asarray(pallas_out), np.asarray(scan_out), atol=1e-4)
 
