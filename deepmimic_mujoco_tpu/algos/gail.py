@@ -170,6 +170,7 @@ class GAIL:
             ep_len_sum += seg["ep_len_sum"]
             ep_count += seg["ep_count"].astype(jnp.float32)
             true_sum += seg["true_ep_ret_sum"]
+            ep_len_sum_last = seg["ep_len_sum"]
             last_ob = seg["ob"].reshape(-1, seg["ob"].shape[-1])
             last_ac = seg["ac"].reshape(-1, seg["ac"].shape[-1])
 
@@ -219,6 +220,7 @@ class GAIL:
                 ep_ret_sum=ep_ret_sum, ep_len_sum=ep_len_sum, ep_count=ep_count,
                 timesteps=jnp.asarray(
                     cfg.g_step * cfg.horizon * cfg.num_envs, jnp.float32),
+                ep_len_sum_last=ep_len_sum_last,
             ),
             d_loss=jnp.mean(d_losses), gen_acc=jnp.mean(g_accs),
             exp_acc=jnp.mean(e_accs), true_ep_ret_sum=true_sum,

@@ -46,6 +46,7 @@ def train(
     rewbuffer: deque = deque(maxlen=40)
     episodes_so_far = 0
     timesteps_so_far = 0
+    counted_so_far = 0  # reference-style counter (see IterStats.ep_len_sum_last)
     iters_so_far = 0
     tstart = time.time()
 
@@ -80,6 +81,7 @@ def train(
                 monitor.record(mean_ret, int(mean_len))
         episodes_so_far += ep_count
         timesteps_so_far += int(stats.timesteps)
+        counted_so_far += int(stats.ep_len_sum_last)
         iters_so_far += 1
 
         if verbose:
@@ -94,6 +96,10 @@ def train(
             logger.record_tabular("EpThisIter", ep_count)
             logger.record_tabular("EpisodesSoFar", episodes_so_far)
             logger.record_tabular("TimestepsSoFar", timesteps_so_far)
+            # the reference's TimestepsSoFar counts only last-segment
+            # completed-episode steps (trpo.py:310-311) — compare learning
+            # curves against this column, not TimestepsSoFar
+            logger.record_tabular("RefCountedSteps", counted_so_far)
             logger.record_tabular("TimeElapsed", time.time() - tstart)
             logger.dump_tabular()
 

@@ -90,6 +90,11 @@ class IterStats(NamedTuple):
     ep_len_sum: Any
     ep_count: Any
     timesteps: Any
+    # reference-compatible step counter: the reference's timesteps_so_far
+    # only counts episodes that completed during the LAST of the g_step
+    # segments (trpo.py:310-311 reads seg["ep_lens"] of the final seg), so
+    # its x-axis undercounts sampled steps ~g_step·horizon/Σlens-fold.
+    ep_len_sum_last: Any
 
 
 def _policy_leaves(params):
@@ -326,6 +331,7 @@ class TRPO:
         meanlosses = jnp.zeros(5, jnp.float32)
         ev = jnp.zeros((), jnp.float32)
 
+        ep_len_sum_last = jnp.zeros((), jnp.float32)
         for _ in range(cfg.g_step):
             seg, env_state, new, key, ep_ret, ep_len = self._rollout(
                 params, env_state, new, key, ep_ret, ep_len)
@@ -334,12 +340,14 @@ class TRPO:
             ep_ret_sum += seg["ep_ret_sum"]
             ep_len_sum += seg["ep_len_sum"]
             ep_count += seg["ep_count"].astype(jnp.float32)
+            ep_len_sum_last = seg["ep_len_sum"]
 
         stats = IterStats(
             optimgain=meanlosses[0], meankl=meanlosses[1], entloss=meanlosses[2],
             surrgain=meanlosses[3], entropy=meanlosses[4], ev_tdlam_before=ev,
             ep_ret_sum=ep_ret_sum, ep_len_sum=ep_len_sum, ep_count=ep_count,
             timesteps=jnp.asarray(cfg.g_step * cfg.horizon * cfg.num_envs, jnp.float32),
+            ep_len_sum_last=ep_len_sum_last,
         )
         new_state = TRPOState(
             params=params, vf_adam=vf_adam, env_state=env_state, new=new,

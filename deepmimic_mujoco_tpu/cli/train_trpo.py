@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-episodes", type=int, default=100)
     p.add_argument("--sample-save-path", default=None)
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--dynamics", default="jax", choices=["jax", "mujoco"],
+                   help="physics backend: jitted JAX engine, or real MuJoCo "
+                        "behind a host callback (golden A/B runs, CPU only)")
     return p
 
 
@@ -78,6 +81,7 @@ def main(argv=None) -> None:
     env_kwargs = {"clip": args.motion}
     if args.env_id == "DPEnvV3":
         env_kwargs["reward_mode"] = args.reward_mode
+        env_kwargs["dynamics"] = args.dynamics
     env = env_cls(**env_kwargs)
 
     policy = MlpPolicy(

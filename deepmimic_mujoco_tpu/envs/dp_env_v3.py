@@ -54,8 +54,21 @@ class DPEnvV3:
         reward_mode: str = "alive",
         n_substeps: int = 1,
         reset_noise: float = 0.01,
+        dynamics: str = "jax",
     ):
         self.model = model if model is not None else build_humanoid()
+        if dynamics == "jax":
+            self._dynamics = lambda qp, qv, ac: engine.step(
+                self.model, qp, qv, ac, n_substeps=self.n_substeps)
+        elif dynamics == "mujoco":
+            # golden-physics A/B backend (host callback, CPU only)
+            from deepmimic_mujoco_tpu.physics.mj_host import MJHostDynamics
+
+            mj = MJHostDynamics(self.model)
+            self._dynamics = lambda qp, qv, ac: mj.step(
+                qp, qv, ac, n_substeps=n_substeps)
+        else:
+            raise ValueError(f"unknown dynamics backend {dynamics!r}")
         if not isinstance(clip, MocapClip):
             clip = load_clip(clip)
         self.clip = clip
@@ -119,9 +132,7 @@ class DPEnvV3:
 
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
-        qpos, qvel = engine.step(
-            self.model, state.qpos, state.qvel, action, n_substeps=self.n_substeps
-        )
+        qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
         done = (com[2] < 0.7) | (com[2] > 2.0)

@@ -43,7 +43,8 @@ def floor_contacts(model: PhysicsModel, kin: Kin) -> Contacts:
     jp = point_jacobian(model, kin, b, cpoint)  # (ncand, 3, nv)
     # constraint rows: normal (world z) first, then the two tangents (x, y)
     jac = jp[:, jnp.array([2, 0, 1]), :]
-    return Contacts(pos=pos, active=active, jac=jac, mu=model.cand_mu)
+    # jnp so downstream tracer-indexing works when model is a closure constant
+    return Contacts(pos=pos, active=active, jac=jac, mu=jnp.asarray(model.cand_mu))
 
 
 class Limits(NamedTuple):

@@ -29,14 +29,17 @@ import os
 
 
 def use_pallas() -> bool:
-    """Whether vmapped solves dispatch to the Pallas TPU kernel.
-    DMTPU_PALLAS=1/0 overrides; default: on iff running on TPU."""
+    """Whether vmapped solves dispatch to the Pallas TPU kernel
+    (DMTPU_PALLAS=1/0 overrides; default off).
+
+    Measured on v5e (512–4096 envs, TRPO end-to-end): XLA wins ~2×
+    (37k vs 18.7k env-steps/s at 512 envs) — ne≈60 matvecs are too small to
+    tile the MXU from Pallas, while XLA fuses the APGD scan and keeps the
+    batched A resident. The kernel is kept for larger constraint sets."""
     v = os.environ.get("DMTPU_PALLAS")
     if v is not None:
         return v not in ("0", "false", "off")
-    import jax
-
-    return jax.default_backend() == "tpu"
+    return False
 
 
 
