@@ -55,9 +55,18 @@ class RLWorld:
             self._key, sub = jax.random.split(self._key)
             params = agent.init(sub)
             if i < len(model_files) and model_files[i] not in ("", "none"):
-                from deepmimic_mujoco_tpu.io_utils import checkpoint
+                import os
 
-                params = checkpoint.load(model_files[i], params)
+                if os.path.exists(model_files[i]):
+                    from deepmimic_mujoco_tpu.io_utils import checkpoint
+
+                    params = checkpoint.load(model_files[i], params)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"model file {model_files[i]!r} not found; "
+                        "using fresh agent parameters")
             self.agents.append(agent)
             self.agent_params.append(params)
 

@@ -127,3 +127,91 @@ class bernoulli:
     def sample(key, logits):
         u = jax.random.uniform(key, logits.shape)
         return (u < jax.nn.sigmoid(logits)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# MultiCategorical: independent categoricals over a low/high box of ints
+# (reference distributions.py:188-218)
+# ---------------------------------------------------------------------------
+class multi_categorical:
+    """Parameterized by flat logits split into ``ncats`` per sub-action
+    (reference uses low/high per dimension; here sizes = high - low + 1)."""
+
+    @staticmethod
+    def _split(logits, sizes):
+        out, off = [], 0
+        for s in sizes:
+            out.append(logits[..., off:off + s])
+            off += s
+        return out
+
+    @staticmethod
+    def neglogp(logits, sizes, x):
+        parts = multi_categorical._split(logits, sizes)
+        return sum(
+            categorical.neglogp(l, x[..., i]) for i, l in enumerate(parts))
+
+    @staticmethod
+    def kl(logits_p, logits_q, sizes):
+        pp = multi_categorical._split(logits_p, sizes)
+        qq = multi_categorical._split(logits_q, sizes)
+        return sum(categorical.kl(a, b) for a, b in zip(pp, qq))
+
+    @staticmethod
+    def entropy(logits, sizes):
+        return sum(
+            categorical.entropy(l)
+            for l in multi_categorical._split(logits, sizes))
+
+    @staticmethod
+    def sample(key, logits, sizes):
+        keys = jax.random.split(key, len(sizes))
+        parts = multi_categorical._split(logits, sizes)
+        return jnp.stack(
+            [categorical.sample(k, l) for k, l in zip(keys, parts)], axis=-1)
+
+
+def make_pdtype(space):
+    """Dispatch a gym/gymnasium space to its distribution family + param size
+    (reference distributions.py:271-283).  Returns (family, param_size,
+    sample_dtype_kind)."""
+    name = type(space).__name__
+    if name == "Box":
+        assert len(space.shape) == 1
+        return diag_gaussian, 2 * space.shape[0], "float"
+    if name == "Discrete":
+        return categorical, int(space.n), "int"
+    if name == "MultiDiscrete":
+        sizes = [int(n) for n in space.nvec]
+        return multi_categorical, sum(sizes), "int"
+    if name == "MultiBinary":
+        return bernoulli, int(space.n), "int"
+    raise NotImplementedError(f"no distribution for space {space!r}")
+
+
+def validate_probtype(sample_a, neglogp_a, neglogp_b, entropy_a, kl_ab,
+                      key, n: int = 100_000):
+    """Statistical self-test (reference ``validate_probtype``,
+    distributions.py:314-341): over n samples from distribution *a*, the
+    estimated NLL must match the analytic entropy, and the estimated
+    E_a[log p_a − log p_b] must match KL(a‖b), each within 3σ.
+
+    Callables: ``sample_a(key)->x``; ``neglogp_{a,b}(x)``; scalars
+    ``entropy_a`` and ``kl_ab``.  Raises AssertionError on failure; returns
+    the two z-scores."""
+    import numpy as np
+
+    keys = jax.random.split(key, n)
+    xs = jax.vmap(sample_a)(keys)
+    nll_a = np.asarray(jax.vmap(neglogp_a)(xs))
+    ent_hat, ent_sem = nll_a.mean(), nll_a.std() / np.sqrt(n)
+    z_ent = abs(ent_hat - float(entropy_a)) / max(ent_sem, 1e-12)
+    assert z_ent < 3.0, (
+        f"entropy mismatch: {ent_hat} vs {float(entropy_a)} (z={z_ent:.2f})")
+
+    logp_diff = np.asarray(jax.vmap(neglogp_b)(xs)) - nll_a
+    kl_hat, kl_sem = logp_diff.mean(), logp_diff.std() / np.sqrt(n)
+    z_kl = abs(kl_hat - float(kl_ab)) / max(kl_sem, 1e-12)
+    assert z_kl < 3.0, (
+        f"KL mismatch: {kl_hat} vs {float(kl_ab)} (z={z_kl:.2f})")
+    return z_ent, z_kl

