@@ -115,8 +115,10 @@ class GAIL:
             ep_len = jnp.where(done, 0, ep_len)
             true_ret = jnp.where(done, 0.0, true_ret)
 
+            reset_fn = (self.env.reset if self.cfg.trpo.reset_mode == "rsi"
+                        else self.env.reset_init)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
-            fresh = jax.vmap(self.env.reset_init)(k_resets)
+            fresh = jax.vmap(reset_fn)(k_resets)
 
             def pick(a, b):
                 mask = done.reshape((-1,) + (1,) * (a.ndim - 1))

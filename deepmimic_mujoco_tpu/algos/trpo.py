@@ -55,6 +55,10 @@ class TRPOConfig(NamedTuple):
     vf_batch_size: int = 128
     entcoeff: float = 0.0
     line_search_steps: int = 10
+    # post-done reset: "noise" = reference behaviour (reset_model_init,
+    # trpo.py:78-79); "rsi" = reference-state initialization from a random
+    # mocap frame (DeepMimic-proper; required for imitation training)
+    reset_mode: str = "noise"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,9 +160,11 @@ class TRPO:
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0, ep_len)
 
-            # auto-reset finished envs with the NOISE reset (trpo.py:78-79)
+            # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI
+            reset_fn = (self.env.reset if cfg.reset_mode == "rsi"
+                        else self.env.reset_init)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
-            fresh = jax.vmap(self.env.reset_init)(k_resets)
+            fresh = jax.vmap(reset_fn)(k_resets)
 
             def pick(a, b):
                 mask = done.reshape((-1,) + (1,) * (a.ndim - 1))

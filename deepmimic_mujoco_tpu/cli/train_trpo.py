@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dynamics", default="jax", choices=["jax", "mujoco"],
                    help="physics backend: jitted JAX engine, or real MuJoCo "
                         "behind a host callback (golden A/B runs, CPU only)")
+    # imitation-training extensions (the capability the reference left
+    # commented out at dp_env_v3.py:118-128)
+    p.add_argument("--control-mode", default="torque", choices=["torque", "pd"],
+                   help="pd = DeepMimic-proper joint-PD target control")
+    p.add_argument("--reset-mode", default="noise", choices=["noise", "rsi"],
+                   help="post-done reset; rsi = random mocap frame")
+    p.add_argument("--n-substeps", type=int, default=1,
+                   help="physics substeps per control step (2 -> 30 Hz "
+                        "control, matching the clip rate)")
+    p.add_argument("--max-episode-steps", type=int, default=0)
     return p
 
 
@@ -80,8 +90,10 @@ def main(argv=None) -> None:
     env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2, "DPEnvV3": DPEnvV3}[args.env_id]
     env_kwargs = {"clip": args.motion}
     if args.env_id == "DPEnvV3":
-        env_kwargs["reward_mode"] = args.reward_mode
-        env_kwargs["dynamics"] = args.dynamics
+        env_kwargs.update(
+            reward_mode=args.reward_mode, dynamics=args.dynamics,
+            control_mode=args.control_mode, n_substeps=args.n_substeps,
+            max_episode_steps=args.max_episode_steps)
     env = env_cls(**env_kwargs)
 
     policy = MlpPolicy(
@@ -93,7 +105,7 @@ def main(argv=None) -> None:
         g_step=args.g_step, gamma=args.gamma, lam=args.lam,
         max_kl=args.max_kl, cg_iters=args.cg_iters, cg_damping=args.cg_damping,
         vf_iters=args.vf_iters, vf_stepsize=args.vf_stepsize,
-        entcoeff=args.policy_entcoeff,
+        entcoeff=args.policy_entcoeff, reset_mode=args.reset_mode,
     )
     learner = TRPO(env, policy, cfg)
     name = task_name(args)

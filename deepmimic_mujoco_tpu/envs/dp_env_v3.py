@@ -55,13 +55,44 @@ class DPEnvV3:
         n_substeps: int = 1,
         reset_noise: float = 0.01,
         dynamics: str = "jax",
+        control_mode: str = "torque",
+        include_phase: Optional[bool] = None,
+        max_episode_steps: int = 0,
     ):
+        """``control_mode``: 'torque' (reference v3 — actions are motor ctrl
+        through gear/ctrlrange) or 'pd' (DeepMimic-proper — actions are joint
+        target angles tracked by a per-substage PD controller,
+        engine.step_pd).  ``include_phase``: prepend the normalized mocap
+        phase to the observation (defaults on for the imitation reward, which
+        is time-indexed and unlearnable without it).  ``max_episode_steps``:
+        0 = reference behaviour (no cap); >0 adds a time-limit done."""
         self.model = model if model is not None else build_humanoid()
+        self.control_mode = control_mode
+        if include_phase is None:
+            include_phase = reward_mode == "imitation"
+        self.include_phase = include_phase
+        self.observation_size = 56 + (1 if include_phase else 0)
+        self.max_episode_steps = max_episode_steps
+        if control_mode == "pd":
+            from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
+
+            kp, kd = kp_kd_vectors()
+            self._kp = jnp.asarray(kp, jnp.float32)
+            self._kd = jnp.asarray(kd, jnp.float32)
+        elif control_mode != "torque":
+            raise ValueError(f"unknown control_mode {control_mode!r}")
         if dynamics == "jax":
-            self._dynamics = lambda qp, qv, ac: engine.step(
-                self.model, qp, qv, ac, n_substeps=self.n_substeps)
+            if control_mode == "pd":
+                self._dynamics = lambda qp, qv, ac: engine.step_pd(
+                    self.model, qp, qv, ac, self._kp, self._kd,
+                    n_substeps=self.n_substeps)
+            else:
+                self._dynamics = lambda qp, qv, ac: engine.step(
+                    self.model, qp, qv, ac, n_substeps=self.n_substeps)
         elif dynamics == "mujoco":
             # golden-physics A/B backend (host callback, CPU only)
+            assert control_mode == "torque", \
+                "mujoco backend supports torque control only"
             from deepmimic_mujoco_tpu.physics.mj_host import MJHostDynamics
 
             mj = MJHostDynamics(self.model)
@@ -95,12 +126,16 @@ class DPEnvV3:
             self.clip_com = com    # (T, 3)
 
     # ------------------------------------------------------------------
-    def _obs(self, qpos, qvel):
-        return jnp.concatenate([qpos[7:], qvel[6:]])
+    def _obs(self, qpos, qvel, mocap_idx):
+        core = jnp.concatenate([qpos[7:], qvel[6:]])
+        if not self.include_phase:
+            return core
+        phase = (mocap_idx % self.clip_len).astype(jnp.float32) / self.clip_len
+        return jnp.concatenate([phase[None], core])
 
     def _state(self, qpos, qvel, key, init_idx, mocap_idx):
         return EnvState(
-            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel),
+            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel, mocap_idx),
             reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
             mocap_idx=mocap_idx, init_idx=init_idx,
             step_count=jnp.zeros((), jnp.int32), key=key,
@@ -136,6 +171,8 @@ class DPEnvV3:
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
         done = (com[2] < 0.7) | (com[2] > 2.0)
+        if self.max_episode_steps:
+            done = done | (state.step_count + 1 >= self.max_episode_steps)
 
         mocap_idx = state.mocap_idx
         if self.reward_mode == "alive":
@@ -160,7 +197,7 @@ class DPEnvV3:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 
         return EnvState(
-            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel),
+            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel, mocap_idx),
             reward=reward, done=done,
             mocap_idx=mocap_idx, init_idx=state.init_idx,
             step_count=state.step_count + 1, key=state.key,

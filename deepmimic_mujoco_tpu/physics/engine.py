@@ -80,11 +80,14 @@ def _chol_inv_mul(m: jnp.ndarray):
 
 
 def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
-            ctrl: jnp.ndarray, extra_damping: float = 0.0) -> Forward:
+            ctrl: jnp.ndarray, extra_damping: float = 0.0,
+            qfrc_applied: jnp.ndarray | None = None) -> Forward:
     """Forward dynamics: qacc given (qpos, qvel, ctrl).
 
     ``extra_damping`` adds dt·damping to the hinge diagonal of M (used by the
     semi-implicit Euler integrator, MuJoCo mj_Euler behaviour).
+    ``qfrc_applied`` adds a generalized force (nv,) directly — the MuJoCo
+    ``qfrc_applied`` channel, used by the PD controller path.
     """
     kin = kinematics.fk(model, qpos)
     m = dynamics.mass_matrix(model, kin)
@@ -97,6 +100,8 @@ def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
         + dynamics.passive_force(model, qvel)
         - bias
     )
+    if qfrc_applied is not None:
+        tau = tau + qfrc_applied
     m_inv_mul = _chol_inv_mul(m)
     qacc_smooth = m_inv_mul(tau)
 
@@ -152,6 +157,72 @@ def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
     qpos_new = integrate_pos(model, qpos, v_avg, dt)
     qvel_new = qvel + dt * a_avg
     return qpos_new, qvel_new
+
+
+def pd_torque(model: PhysicsModel, target: jnp.ndarray, qpos: jnp.ndarray,
+              qvel: jnp.ndarray, kp: jnp.ndarray, kd: jnp.ndarray
+              ) -> jnp.ndarray:
+    """DeepMimic-style joint PD: τ = kp·(target − q) − kd·q̇ on the hinge
+    dofs, clamped to ± the motor gear (the per-joint TorqueLim), returned as
+    a (nv,) generalized force.  The reference computes the same τ on the
+    host and writes it into ``sim.data.ctrl``
+    (mujoco_interface.action2torque, mujoco_interface.py:97-107)."""
+    q = qpos[7:]
+    qd = qvel[6:]
+    tau = kp * (target - q) - kd * qd
+    lim = jnp.zeros(model.nv - 6, tau.dtype).at[model.actuator_hinge].add(
+        jnp.asarray(model.actuator_gear, tau.dtype))
+    tau = jnp.clip(tau, -lim, lim)
+    return jnp.concatenate([jnp.zeros(6, tau.dtype), tau])
+
+
+def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
+            n_substeps: int = 1):
+    """Advance ``n_substeps`` steps under a PD controller tracking ``target``
+    joint angles; the torque is re-evaluated from the instantaneous (q, q̇)
+    at every integrator stage (stable at low control rates, unlike the
+    reference's one-torque-per-control-step host loop)."""
+    return _step_pd_impl(model.integrator, model, qpos, qvel, target, kp, kd,
+                         n_substeps=n_substeps)
+
+
+@partial(jax.jit, static_argnums=0, static_argnames=("n_substeps",))
+def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
+                  kp, kd, n_substeps: int = 1):
+    dt = model.dt
+    zero_ctrl = jnp.zeros(model.nu, qvel.dtype)
+
+    def fwd(qp, qv, extra_damping=0.0):
+        return forward(model, qp, qv, zero_ctrl, extra_damping,
+                       qfrc_applied=pd_torque(model, target, qp, qv, kp, kd))
+
+    def sub_euler(carry, _):
+        qp, qv = carry
+        f = fwd(qp, qv, extra_damping=dt)
+        qv2 = qv + dt * f.qacc
+        return (integrate_pos(model, qp, qv2, dt), qv2), None
+
+    def sub_rk4(carry, _):
+        qp, qv = carry
+        a_coefs = jnp.asarray([0.0, 0.5, 0.5, 1.0], qv.dtype)
+        b_coefs = jnp.asarray([1.0, 2.0, 2.0, 1.0], qv.dtype) / 6.0
+
+        def stage(c, coefs):
+            a_i, b_i = coefs
+            kv_prev, ka_prev, acc_v, acc_a = c
+            qp_i = integrate_pos(model, qp, kv_prev, dt * a_i)
+            qv_i = qv + dt * a_i * ka_prev
+            ka = fwd(qp_i, qv_i).qacc
+            return (qv_i, ka, acc_v + b_i * qv_i, acc_a + b_i * ka), None
+
+        z = jnp.zeros_like(qv)
+        (_, _, v_avg, a_avg), _ = jax.lax.scan(
+            stage, (z, z, z, z), (a_coefs, b_coefs))
+        return (integrate_pos(model, qp, v_avg, dt), qv + dt * a_avg), None
+
+    sub = sub_rk4 if integrator == "rk4" else sub_euler
+    (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel), None, length=n_substeps)
+    return qpos, qvel
 
 
 @partial(jax.jit, static_argnums=0, static_argnames=("n_substeps",))

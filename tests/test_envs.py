@@ -166,3 +166,65 @@ class TestScanRollout:
         rews, dones = rollout(jax.random.PRNGKey(0))
         assert rews.shape == (5, 4)
         np.testing.assert_allclose(np.asarray(rews), 1.0)
+
+
+class TestPDControlAndImitation:
+    """PD control mode (engine.step_pd), phase observation, time cap."""
+
+    def test_pd_obs_has_phase(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation",
+                      control_mode="pd", n_substeps=2)
+        assert env.observation_size == 57
+        s = env.reset_at(jax.random.PRNGKey(0), 5)
+        assert s.obs.shape == (57,)
+        np.testing.assert_allclose(float(s.obs[0]), 5 / env.clip_len,
+                                   rtol=1e-6)
+
+    def test_pd_tracks_mocap_joints(self):
+        """PD target = current clip frame → mean joint error stays small
+        (balance is not expected; joint tracking is)."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation",
+                      control_mode="pd", n_substeps=2)
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        step = jax.jit(env.step)
+        errs = []
+        for _ in range(10):
+            target = env.clip_qpos[s.mocap_idx % env.clip_len][7:]
+            s = step(s, target)
+            ref = env.clip_qpos[s.mocap_idx % env.clip_len]
+            errs.append(float(jnp.abs(s.qpos[7:] - ref[7:]).mean()))
+        assert np.isfinite(errs).all()
+        assert np.mean(errs) < 0.15, errs
+
+    def test_time_cap_terminates(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", max_episode_steps=3)
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        step = jax.jit(env.step)
+        for _ in range(3):
+            s = step(s, jnp.zeros(28))
+        assert bool(s.done)
+
+    def test_rsi_reset_mode_in_trpo(self):
+        """reset_mode='rsi' runs and the post-done states differ from the
+        standing pose (mocap frames)."""
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation",
+                      control_mode="pd", n_substeps=2, max_episode_steps=4)
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size)
+        cfg = TRPOConfig(horizon=8, num_envs=4, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=8, line_search_steps=2,
+                         reset_mode="rsi")
+        learner = TRPO(env, policy, cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+        state, stats = learner.iteration(state)
+        assert np.isfinite(float(stats.meankl))
