@@ -236,6 +236,18 @@ class TRPO:
         lossbefore = pmean(losses_at(th_before, ob, ac, atarg))
         g = pmean(jax.grad(lambda th: losses_at(th, ob, ac, atarg)[0])(th_before))
 
+        # DeepMimic-style fixed exploration noise: freeze logstd coordinates
+        # (policy.fixed_logstd) by masking them out of the natural-gradient
+        # direction
+        if getattr(self.policy, "fixed_logstd", None) is not None:
+            mask, _ = jax.flatten_util.ravel_pytree({
+                "pol": jax.tree.map(jnp.ones_like, pol_tree["pol"]),
+                "logstd": jnp.zeros_like(pol_tree["logstd"]),
+            })
+            g = g * mask
+        else:
+            mask = None
+
         # Fisher-vector product via double-vjp of mean KL on every 5th row
         fvp_ob, fvp_ac, fvp_at = ob[::5], ac[::5], atarg[::5]
 
@@ -247,6 +259,8 @@ class TRPO:
             return pmean(hvp) + cfg.cg_damping * p
 
         stepdir = cg(fisher_vector_product, g, cg_iters=cfg.cg_iters)
+        if mask is not None:
+            stepdir = stepdir * mask
         shs = 0.5 * jnp.dot(stepdir, fisher_vector_product(stepdir))
         lm = jnp.sqrt(shs / cfg.max_kl)
         fullstep = stepdir / jnp.maximum(lm, 1e-8)

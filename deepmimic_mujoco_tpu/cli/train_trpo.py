@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam", type=float, default=0.97)
     p.add_argument("--hid-size", type=int, default=100)
     p.add_argument("--num-hid-layers", type=int, default=2)
+    p.add_argument("--fixed-logstd", type=float, default=None,
+                   help="freeze exploration noise at this logstd "
+                        "(DeepMimic-style fixed noise, e.g. -1.6 ~ std 0.2)")
     # infra
     p.add_argument("--save-per-iter", type=int, default=100)
     p.add_argument("--checkpoint-dir", default="checkpoint_tmp")
@@ -99,6 +102,7 @@ def main(argv=None) -> None:
     policy = MlpPolicy(
         ob_dim=env.observation_size, ac_dim=env.action_size,
         hid_size=args.hid_size, num_hid_layers=args.num_hid_layers,
+        fixed_logstd=args.fixed_logstd,
     )
     cfg = TRPOConfig(
         horizon=args.timesteps_per_batch, num_envs=args.num_envs,

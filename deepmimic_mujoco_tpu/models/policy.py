@@ -26,21 +26,30 @@ from deepmimic_mujoco_tpu.utils import running_stats
 
 
 class MlpPolicy(NamedTuple):
-    """Static config; parameters live in the pytree returned by init()."""
+    """Static config; parameters live in the pytree returned by init().
+
+    ``fixed_logstd``: when set, exploration noise is a constant (DeepMimic's
+    fixed ExpParams noise rather than the reference TRPO's learned logstd,
+    mlp_policy_trpo.py:45-50).  Prevents the std collapse that strangles
+    exploration on hard imitation tasks; the value is still stored in the
+    param pytree so act/kl/entropy are unchanged, but gradients to it are
+    zeroed (see TRPO._segment_update)."""
 
     ob_dim: int
     ac_dim: int
     hid_size: int = 100
     num_hid_layers: int = 2
+    fixed_logstd: float | None = None
 
     def init(self, key):
         k_pol, k_vf = jax.random.split(key)
         hidden = [self.hid_size] * self.num_hid_layers
+        logstd0 = 0.0 if self.fixed_logstd is None else float(self.fixed_logstd)
         return {
             "pol": init_mlp(k_pol, [self.ob_dim] + hidden + [self.ac_dim],
                             final_scale=0.01),
             "vf": init_mlp(k_vf, [self.ob_dim] + hidden + [1]),
-            "logstd": jnp.zeros(self.ac_dim, jnp.float32),
+            "logstd": jnp.full(self.ac_dim, logstd0, jnp.float32),
             "ob_rms": running_stats.init(self.ob_dim),
         }
 
