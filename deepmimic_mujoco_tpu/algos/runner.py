@@ -16,16 +16,21 @@ from deepmimic_mujoco_tpu.models import distributions
 
 def evaluate(env, policy, params, key, n_episodes: int = 100,
              horizon: int = 1024, stochastic: bool = False,
-             save_path: Optional[str] = None):
+             save_path: Optional[str] = None, reset_mode: str = "rsi"):
     """Batched evaluation: runs ``n_episodes`` envs in parallel for up to
     ``horizon`` steps each, masking steps after termination (the reference
     runs them serially, trpo.py:379-385).
 
-    Returns (avg_len, avg_ret); optionally saves obs/acs/rews/ep_rets/lens
-    like the reference's ``.npz`` export (trpo.py:388-393)."""
+    ``reset_mode``: 'rsi' starts episodes from random mocap frames (the
+    reference's runner semantics — note this DIFFERS from the training
+    distribution, whose post-done resets are noise resets); 'noise' matches
+    training.  Returns (avg_len, avg_ret); optionally saves
+    obs/acs/rews/ep_rets/lens like the reference's ``.npz`` export
+    (trpo.py:388-393)."""
 
     keys = jax.random.split(key, n_episodes + 1)
-    state = jax.vmap(env.reset)(keys[1:])
+    reset_fn = env.reset if reset_mode == "rsi" else env.reset_init
+    state = jax.vmap(reset_fn)(keys[1:])
 
     @jax.jit
     def rollout(state, key):

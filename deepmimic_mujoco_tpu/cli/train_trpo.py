@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="physics substeps per control step (2 -> 30 Hz "
                         "control, matching the clip rate)")
     p.add_argument("--max-episode-steps", type=int, default=0)
+    p.add_argument("--eval-reset", default="rsi", choices=["rsi", "noise"],
+                   help="episode starts for evaluate/sample: rsi = random "
+                        "mocap frame (reference runner semantics), noise = "
+                        "the training distribution")
     return p
 
 
@@ -133,6 +137,7 @@ def main(argv=None) -> None:
             n_episodes=args.eval_episodes,
             stochastic=(args.task == "sample"),
             save_path=args.sample_save_path,
+            reset_mode=args.eval_reset,
         )
         print(f"Average length: {avg_len:.1f}")
         print(f"Average return: {avg_ret:.1f}")
