@@ -124,6 +124,18 @@ class DPEnvV3:
             ee, com = jax.vmap(frame_feats)(self.clip_qpos)
             self.clip_ee = ee      # (T, 4, 3)
             self.clip_com = com    # (T, 3)
+            # per-cycle root offset for looping clips: the reference's
+            # mocap playback re-bases each pass on the previous end root
+            # x-y (mocap_v2.play phase_offset, mocap_v2.py:168-182) —
+            # without it the root/ee/com targets snap back to the clip
+            # origin on wrap and the reward collapses after one cycle
+            if clip.loop == "wrap":
+                off = np.asarray(clip.qpos[-1, 0:3] - clip.qpos[0, 0:3])
+                off[2] = 0.0
+            else:
+                off = np.zeros(3)
+            self.cycle_offset = jnp.asarray(off, jnp.float32)
+            self.clip_wraps = clip.loop == "wrap"
 
     # ------------------------------------------------------------------
     def _obs(self, qpos, qvel, mocap_idx):
@@ -183,16 +195,23 @@ class DPEnvV3:
             reward = jnp.exp(-err)
             mocap_idx = (mocap_idx + 1) % self.clip_len
         elif self.reward_mode == "imitation":
-            idx = mocap_idx % self.clip_len
+            if self.clip_wraps:
+                idx = mocap_idx % self.clip_len
+                cycles = (mocap_idx // self.clip_len).astype(jnp.float32)
+            else:
+                idx = jnp.minimum(mocap_idx, self.clip_len - 1)
+                cycles = jnp.zeros((), jnp.float32)
+            offset = cycles * self.cycle_offset  # root re-basing per cycle
             ref_qp = self.clip_qpos[idx]
             ref_qv = self.clip_qvel[idx]
             ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
             reward = rewards.imitation_reward(
-                qpos[7:], ref_qp[7:], qvel, ref_qv, qpos[0:3], ref_qp[0:3],
-                ee_pos=ee, ref_ee_pos=self.clip_ee[idx],
-                com=com, ref_com=self.clip_com[idx],
+                qpos[7:], ref_qp[7:], qvel, ref_qv,
+                qpos[0:3], ref_qp[0:3] + offset,
+                ee_pos=ee, ref_ee_pos=self.clip_ee[idx] + offset,
+                com=com, ref_com=self.clip_com[idx] + offset,
             )
-            mocap_idx = (mocap_idx + 1) % self.clip_len
+            mocap_idx = mocap_idx + 1
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 

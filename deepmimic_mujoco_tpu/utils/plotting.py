@@ -148,8 +148,8 @@ def plot_curve(log_dir: str, out_path: Optional[str] = None,
     ax.set_ylabel("episode reward")
     ax.set_title(f"{env_name} reward")
     if out_path is None:
-        os.makedirs("figures", exist_ok=True)
         out_path = os.path.join("figures", f"{env_name}-reward.svg")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path)
     plt.close(fig)
     return out_path

@@ -228,3 +228,27 @@ class TestPDControlAndImitation:
         state = learner.init(jax.random.PRNGKey(0))
         state, stats = learner.iteration(state)
         assert np.isfinite(float(stats.meankl))
+
+    def test_imitation_reward_continuous_across_wrap(self):
+        """Cyclic clips re-base the root target each pass (reference
+        mocap_v2.play phase_offset); the reward for a perfect tracker must
+        not collapse after the first cycle."""
+        import dataclasses
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation")
+        T = env.clip_len
+        step = jax.jit(env.step)
+        per_cycle = []
+        rews = []
+        for t in range(2 * T):
+            idx, cyc = t % T, t // T
+            qp = env.clip_qpos[idx].at[0:3].add(cyc * env.cycle_offset)
+            qv = env.clip_qvel[idx]
+            s = env._state(qp, qv, jax.random.PRNGKey(0),
+                           jnp.asarray(idx), jnp.asarray(t))
+            rews.append(float(step(s, qp[7:]).reward))
+        per_cycle = [np.mean(rews[:T]), np.mean(rews[T:])]
+        assert abs(per_cycle[0] - per_cycle[1]) < 0.02, per_cycle
+        assert per_cycle[1] > 0.5, per_cycle
