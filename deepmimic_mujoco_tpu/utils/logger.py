@@ -116,7 +116,31 @@ def make_output_format(fmt, ev_dir, log_suffix=""):
         return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
     raise ValueError(f"Unknown format {fmt!r}")
+
+
+class TensorBoardOutputFormat:
+    """Per-iteration scalar summaries (reference logger.py:137-170) via the
+    same TF-writer/JSONL machinery as utils.statistics.Stats."""
+
+    def __init__(self, dirname: str):
+        from deepmimic_mujoco_tpu.utils.statistics import Stats
+
+        self._dir = dirname
+        self._stats = Stats([], logdir=dirname)
+        self._step = 0
+
+    def writekvs(self, kvs):
+        numeric = {k: v for k, v in sorted(kvs.items())
+                   if isinstance(v, (int, float))}
+        self._stats.scalar_keys = list(numeric.keys())
+        self._stats.add_all_summary(list(numeric.values()), self._step)
+        self._step += 1
+
+    def close(self):
+        pass
 
 
 class Logger:
