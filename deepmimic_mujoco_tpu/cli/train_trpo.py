@@ -58,8 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "behind a host callback (golden A/B runs, CPU only)")
     # imitation-training extensions (the capability the reference left
     # commented out at dp_env_v3.py:118-128)
-    p.add_argument("--control-mode", default="torque", choices=["torque", "pd"],
-                   help="pd = DeepMimic-proper joint-PD target control")
+    p.add_argument("--control-mode", default="torque",
+                   choices=["torque", "pd", "pd_residual"],
+                   help="pd = DeepMimic-proper joint-PD target control; "
+                        "pd_residual = PD targets as offsets from the clip "
+                        "pose (zero action tracks the reference)")
     p.add_argument("--reset-mode", default="noise", choices=["noise", "rsi"],
                    help="post-done reset; rsi = random mocap frame")
     p.add_argument("--n-substeps", type=int, default=1,

@@ -73,7 +73,7 @@ class DPEnvV3:
         self.include_phase = include_phase
         self.observation_size = 56 + (1 if include_phase else 0)
         self.max_episode_steps = max_episode_steps
-        if control_mode == "pd":
+        if control_mode in ("pd", "pd_residual"):
             from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
 
             kp, kd = kp_kd_vectors()
@@ -82,7 +82,11 @@ class DPEnvV3:
         elif control_mode != "torque":
             raise ValueError(f"unknown control_mode {control_mode!r}")
         if dynamics == "jax":
-            if control_mode == "pd":
+            if control_mode in ("pd", "pd_residual"):
+                # 'pd': action = absolute joint targets.  'pd_residual':
+                # action = offset from the clip pose at the mocap cursor, so
+                # a zero action tracks the reference feed-forward and the
+                # policy learns balance corrections only.
                 self._dynamics = lambda qp, qv, ac: engine.step_pd(
                     self.model, qp, qv, ac, self._kp, self._kd,
                     n_substeps=self.n_substeps)
@@ -179,6 +183,9 @@ class DPEnvV3:
 
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        if self.control_mode == "pd_residual":
+            ref = self.clip_qpos[state.mocap_idx % self.clip_len][7:]
+            action = ref + action
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
