@@ -252,3 +252,17 @@ class TestPDControlAndImitation:
         per_cycle = [np.mean(rews[:T]), np.mean(rews[T:])]
         assert abs(per_cycle[0] - per_cycle[1]) < 0.02, per_cycle
         assert per_cycle[1] > 0.5, per_cycle
+
+    @pytest.mark.parametrize("clip", ["humanoid3d_run", "humanoid3d_punch"])
+    def test_imitation_env_other_clips(self, clip):
+        """Imitation env works across clip types (wrap + non-looping)."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip=clip, reward_mode="imitation",
+                      control_mode="pd_residual", n_substeps=2)
+        s = env.reset(jax.random.PRNGKey(0))
+        s = jax.jit(env.step)(s, jnp.zeros(28))
+        assert bool(jnp.isfinite(s.obs).all())
+        assert 0.0 <= float(s.reward) <= 1.0
+        if env.clip.loop == "none":
+            np.testing.assert_allclose(np.asarray(env.cycle_offset), 0.0)
