@@ -30,6 +30,46 @@ def maybe_psum(x, axis_name: Optional[str]):
     return jax.lax.psum(x, axis_name)
 
 
+def share_bytes(data: Optional[bytes]) -> bytes:
+    """Broadcast process 0's byte blob to every host — the reference's
+    ``share_file`` (utils/mpi_util.py:62+, used to ship checkpoints to
+    workers without a shared filesystem).  Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        assert data is not None
+        return data
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    length = np.zeros((), np.int64) if data is None else np.asarray(
+        len(data), np.int64)
+    length = int(multihost_utils.broadcast_one_to_all(length))
+    buf = np.zeros(length, np.uint8)
+    if data is not None and jax.process_index() == 0:
+        buf[:] = np.frombuffer(data, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(buf))
+
+
+def share_file(path: str) -> None:
+    """Replicate a file from process 0 to all hosts (reference
+    ``share_file`` semantics): reads on 0, writes everywhere else."""
+    import os
+
+    import jax
+
+    data = None
+    if jax.process_index() == 0:
+        with open(path, "rb") as f:
+            data = f.read()
+    data = share_bytes(data)
+    if jax.process_index() != 0:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+
 def sync_check(flat_params: jnp.ndarray, flat_opt: jnp.ndarray,
                axis_name: Optional[str]):
     """Replica-divergence tripwire — the reference asserts all ranks hold
