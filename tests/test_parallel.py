@@ -120,3 +120,18 @@ class TestShardedTraining:
             outs.append(np.asarray(
                 jax.flatten_util.ravel_pytree(state2.params)[0]))
         np.testing.assert_allclose(outs[0], outs[1], atol=5e-5)
+
+
+class TestShareBytes:
+    def test_single_process_identity(self):
+        from deepmimic_mujoco_tpu.parallel.collectives import share_bytes
+
+        assert share_bytes(b"checkpoint-blob") == b"checkpoint-blob"
+
+    def test_share_file_roundtrip(self, tmp_path):
+        from deepmimic_mujoco_tpu.parallel.collectives import share_file
+
+        p = tmp_path / "ckpt.bin"
+        p.write_bytes(b"\x00\x01payload")
+        share_file(str(p))
+        assert p.read_bytes() == b"\x00\x01payload"

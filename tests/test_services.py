@@ -178,3 +178,18 @@ class TestPlotResults:
             str(tmp_path), out_path=str(tmp_path / "fig.svg"),
             group_fn=lambda run: "all", average_group=True)
         assert os.path.exists(out)
+
+
+class TestTensorBoardFormat:
+    def test_tb_format_writes(self, tmp_path):
+        import os
+
+        from deepmimic_mujoco_tpu.utils import logger as L
+
+        fmt = L.make_output_format("tensorboard", str(tmp_path))
+        fmt.writekvs({"a": 1.0, "b": 2, "s": "skip-me"})
+        fmt.writekvs({"a": 3.0})
+        fmt.close()
+        files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp_path)
+                 for f in fs]
+        assert files, "tensorboard format produced no files"
