@@ -116,7 +116,7 @@ class GAIL:
             true_ret = jnp.where(done, 0.0, true_ret)
 
             reset_fn = (self.env.reset if self.cfg.trpo.reset_mode == "rsi"
-                        else self.env.reset_init)
+                        else getattr(self.env, "reset_init", self.env.reset))
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
             fresh = jax.vmap(reset_fn)(k_resets)
 

@@ -160,9 +160,12 @@ class TRPO:
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0, ep_len)
 
-            # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI
+            # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI.
+            # v1/v2 have no noise reset (neither do the reference's — its
+            # trpo.py:79 calls the v3-only reset_model_init), so fall back
+            # to their mocap reset.
             reset_fn = (self.env.reset if cfg.reset_mode == "rsi"
-                        else self.env.reset_init)
+                        else getattr(self.env, "reset_init", self.env.reset))
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
             fresh = jax.vmap(reset_fn)(k_resets)
 

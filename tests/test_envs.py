@@ -266,3 +266,19 @@ class TestPDControlAndImitation:
         assert 0.0 <= float(s.reward) <= 1.0
         if env.clip.loop == "none":
             np.testing.assert_allclose(np.asarray(env.cycle_offset), 0.0)
+
+    @pytest.mark.parametrize("env_cls", [DPEnvV1, DPEnvV2])
+    def test_trpo_trains_v1_v2(self, env_cls):
+        """v1/v2 lack a noise reset (so does the reference's — trpo.py:79 is
+        v3-only); the trainer must fall back to their mocap reset."""
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = env_cls(clip="walk")
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size)
+        cfg = TRPOConfig(horizon=6, num_envs=2, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=4, line_search_steps=2)
+        learner = TRPO(env, policy, cfg)
+        state, stats = learner.iteration(learner.init(jax.random.PRNGKey(0)))
+        assert np.isfinite(float(stats.meankl))
