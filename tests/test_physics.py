@@ -185,3 +185,35 @@ class TestTrajectories:
         assert qp2.shape == (B, 35)
         # identical inputs → identical outputs across the batch
         np.testing.assert_array_equal(np.asarray(qp2[0]), np.asarray(qp2[1]))
+
+
+class TestMassInverse:
+    """Newton-Schulz explicit inverse (engine.mass_inverse) — MXU-friendly
+    replacement for batched Cholesky."""
+
+    def test_residual_at_f32_floor(self):
+        import jax
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import (build_humanoid, dynamics,
+                                                  engine, kinematics)
+
+        model = build_humanoid()
+        key = jax.random.PRNGKey(0)
+        # random reachable poses: clip hinge angles into their ranges
+        lo, hi = model.hinge_range[:, 0], model.hinge_range[:, 1]
+        qs = []
+        for i in range(8):
+            key, k1, k2 = jax.random.split(key, 3)
+            hinges = lo + (hi - lo) * jax.random.uniform(k1, (model.nv - 6,))
+            quat = jax.random.normal(k2, (4,))
+            quat = quat / jnp.linalg.norm(quat)
+            qs.append(jnp.concatenate([jnp.array([0., 0., 1.]), quat, hinges]))
+        qpos = jnp.stack(qs)
+        m = jax.vmap(lambda q: dynamics.mass_matrix(
+            model, kinematics.fk(model, q)))(qpos)
+        minv = jax.vmap(engine.mass_inverse)(m)
+        eye = jnp.eye(model.nv)
+        resid = jnp.abs(jnp.matmul(minv, m,
+                                   precision=jax.lax.Precision.HIGHEST) - eye)
+        assert float(resid.max()) < 1e-4, float(resid.max())
