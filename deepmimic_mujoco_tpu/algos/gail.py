@@ -115,8 +115,9 @@ class GAIL:
             ep_len = jnp.where(done, 0, ep_len)
             true_ret = jnp.where(done, 0.0, true_ret)
 
-            reset_fn = (self.env.reset if self.cfg.trpo.reset_mode == "rsi"
-                        else getattr(self.env, "reset_init", self.env.reset))
+            from deepmimic_mujoco_tpu.algos.trpo import pick_reset_fn
+
+            reset_fn = pick_reset_fn(self.env, self.cfg.trpo.reset_mode)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
             fresh = jax.vmap(reset_fn)(k_resets)
 

@@ -28,9 +28,10 @@ def evaluate(env, policy, params, key, n_episodes: int = 100,
     obs/acs/rews/ep_rets/lens like the reference's ``.npz`` export
     (trpo.py:388-393)."""
 
+    from deepmimic_mujoco_tpu.algos.trpo import pick_reset_fn
+
     keys = jax.random.split(key, n_episodes + 1)
-    reset_fn = env.reset if reset_mode == "rsi" else env.reset_init
-    state = jax.vmap(reset_fn)(keys[1:])
+    state = jax.vmap(pick_reset_fn(env, reset_mode))(keys[1:])
 
     @jax.jit
     def rollout(state, key):

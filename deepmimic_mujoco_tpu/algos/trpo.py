@@ -105,6 +105,16 @@ def _policy_leaves(params):
     return {"pol": params["pol"], "logstd": params["logstd"]}
 
 
+def pick_reset_fn(env, reset_mode: str):
+    """Episode-start reset for a given mode: "rsi" = random mocap frame;
+    "noise" = the v3 noise reset (reference trpo.py:78-79), falling back to
+    the env's mocap reset when it has none (v1/v2 — the reference's own
+    trainer only supports v3 there, trpo.py:79)."""
+    if reset_mode == "rsi":
+        return env.reset
+    return getattr(env, "reset_init", env.reset)
+
+
 class TRPO:
     """Couples a functional env (DPEnvV3-style), an MlpPolicy, and the TRPO
     update.  ``axis_name`` enables multi-device SPMD (pmean collectives)."""
@@ -160,12 +170,8 @@ class TRPO:
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0, ep_len)
 
-            # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI.
-            # v1/v2 have no noise reset (neither do the reference's — its
-            # trpo.py:79 calls the v3-only reset_model_init), so fall back
-            # to their mocap reset.
-            reset_fn = (self.env.reset if cfg.reset_mode == "rsi"
-                        else getattr(self.env, "reset_init", self.env.reset))
+            # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI
+            reset_fn = pick_reset_fn(self.env, cfg.reset_mode)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
             fresh = jax.vmap(reset_fn)(k_resets)
 

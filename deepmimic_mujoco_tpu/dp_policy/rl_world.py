@@ -55,18 +55,12 @@ class RLWorld:
             self._key, sub = jax.random.split(self._key)
             params = agent.init(sub)
             if i < len(model_files) and model_files[i] not in ("", "none"):
-                import os
+                # fail fast on a missing checkpoint — silently evaluating a
+                # fresh random agent masquerades as a (bad) real result.
+                # Pass 'none' to run without a model.
+                from deepmimic_mujoco_tpu.io_utils import checkpoint
 
-                if os.path.exists(model_files[i]):
-                    from deepmimic_mujoco_tpu.io_utils import checkpoint
-
-                    params = checkpoint.load(model_files[i], params)
-                else:
-                    import warnings
-
-                    warnings.warn(
-                        f"model file {model_files[i]!r} not found; "
-                        "using fresh agent parameters")
+                params = checkpoint.load(model_files[i], params)
             self.agents.append(agent)
             self.agent_params.append(params)
 

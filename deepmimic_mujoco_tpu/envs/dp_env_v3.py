@@ -117,6 +117,17 @@ class DPEnvV3:
         self._ee_geoms = np.asarray(
             [self.model.geom_index(n) for n in END_EFFECTORS], np.int32
         )
+        # cyclic-clip handling (used by the phase obs, pd_residual targets
+        # and the imitation reward): looping clips wrap the cursor and
+        # re-base the root each pass; non-looping clips clamp at the last
+        # frame and the imitation episode ends when the motion is over
+        self.clip_wraps = clip.loop == "wrap"
+        if self.clip_wraps:
+            off = np.asarray(clip.qpos[-1, 0:3] - clip.qpos[0, 0:3])
+            off[2] = 0.0
+        else:
+            off = np.zeros(3)
+        self.cycle_offset = jnp.asarray(off, jnp.float32)
         if reward_mode == "imitation":
             # precompute reference end-effector / COM tracks via batched FK
             def frame_feats(qp):
@@ -128,25 +139,25 @@ class DPEnvV3:
             ee, com = jax.vmap(frame_feats)(self.clip_qpos)
             self.clip_ee = ee      # (T, 4, 3)
             self.clip_com = com    # (T, 3)
-            # per-cycle root offset for looping clips: the reference's
-            # mocap playback re-bases each pass on the previous end root
-            # x-y (mocap_v2.play phase_offset, mocap_v2.py:168-182) —
-            # without it the root/ee/com targets snap back to the clip
-            # origin on wrap and the reward collapses after one cycle
-            if clip.loop == "wrap":
-                off = np.asarray(clip.qpos[-1, 0:3] - clip.qpos[0, 0:3])
-                off[2] = 0.0
-            else:
-                off = np.zeros(3)
-            self.cycle_offset = jnp.asarray(off, jnp.float32)
-            self.clip_wraps = clip.loop == "wrap"
 
     # ------------------------------------------------------------------
+    def _clip_index(self, mocap_idx):
+        """(frame index, completed cycles) for an unbounded cursor: looping
+        clips wrap (per-cycle root re-basing — reference mocap_v2.play
+        phase_offset, mocap_v2.py:168-182); non-looping clips clamp at the
+        final frame."""
+        if self.clip_wraps:
+            return (mocap_idx % self.clip_len,
+                    (mocap_idx // self.clip_len).astype(jnp.float32))
+        return (jnp.minimum(mocap_idx, self.clip_len - 1),
+                jnp.zeros((), jnp.float32))
+
     def _obs(self, qpos, qvel, mocap_idx):
         core = jnp.concatenate([qpos[7:], qvel[6:]])
         if not self.include_phase:
             return core
-        phase = (mocap_idx % self.clip_len).astype(jnp.float32) / self.clip_len
+        idx, _ = self._clip_index(mocap_idx)
+        phase = idx.astype(jnp.float32) / self.clip_len
         return jnp.concatenate([phase[None], core])
 
     def _state(self, qpos, qvel, key, init_idx, mocap_idx):
@@ -184,8 +195,8 @@ class DPEnvV3:
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         if self.control_mode == "pd_residual":
-            ref = self.clip_qpos[state.mocap_idx % self.clip_len][7:]
-            action = ref + action
+            ref_idx, _ = self._clip_index(state.mocap_idx)
+            action = self.clip_qpos[ref_idx][7:] + action
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
@@ -202,12 +213,7 @@ class DPEnvV3:
             reward = jnp.exp(-err)
             mocap_idx = (mocap_idx + 1) % self.clip_len
         elif self.reward_mode == "imitation":
-            if self.clip_wraps:
-                idx = mocap_idx % self.clip_len
-                cycles = (mocap_idx // self.clip_len).astype(jnp.float32)
-            else:
-                idx = jnp.minimum(mocap_idx, self.clip_len - 1)
-                cycles = jnp.zeros((), jnp.float32)
+            idx, cycles = self._clip_index(mocap_idx)
             offset = cycles * self.cycle_offset  # root re-basing per cycle
             ref_qp = self.clip_qpos[idx]
             ref_qv = self.clip_qvel[idx]
@@ -219,6 +225,10 @@ class DPEnvV3:
                 com=com, ref_com=self.clip_com[idx] + offset,
             )
             mocap_idx = mocap_idx + 1
+            if not self.clip_wraps:
+                # the motion is over → episode ends (original DeepMimic ends
+                # non-looping imitation episodes at the clip end)
+                done = done | (mocap_idx >= self.clip_len)
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 

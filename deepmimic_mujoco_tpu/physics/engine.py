@@ -122,22 +122,23 @@ def integrate_pos(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
     return jnp.concatenate([root_pos, root_quat, hinges])
 
 
-def step_euler(model: PhysicsModel, qpos, qvel, ctrl):
-    """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler)."""
+def _euler_substep(model: PhysicsModel, qpos, qvel, fwd):
+    """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler).
+    ``fwd(qp, qv, extra_damping) → Forward`` supplies the dynamics."""
     dt = model.dt
-    fwd = forward(model, qpos, qvel, ctrl, extra_damping=dt)
-    qvel_new = qvel + dt * fwd.qacc
+    f = fwd(qpos, qvel, dt)
+    qvel_new = qvel + dt * f.qacc
     qpos_new = integrate_pos(model, qpos, qvel_new, dt)
     return qpos_new, qvel_new
 
 
-def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
+def _rk4_substep(model: PhysicsModel, qpos, qvel, fwd):
     """Classic RK4 on (qpos, qvel) with manifold-aware qpos updates
     (MuJoCo mj_RungeKutta semantics, reference XML integrator).
 
-    The four stages run as a ``lax.scan`` over the Butcher coefficients so the
-    forward-dynamics graph is traced/compiled once instead of four times —
-    a ~4× cut in XLA compile time for every program containing a step."""
+    The four stages run as a ``lax.scan`` over the Butcher coefficients so
+    the forward-dynamics graph is traced/compiled once instead of four times
+    — a ~4× cut in XLA compile time for every program containing a step."""
     dt = model.dt
     a_coefs = jnp.asarray([0.0, 0.5, 0.5, 1.0], qvel.dtype)
     b_coefs = jnp.asarray([1.0, 2.0, 2.0, 1.0], qvel.dtype) / 6.0
@@ -148,7 +149,7 @@ def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
         qp_i = integrate_pos(model, qpos, kv_prev, dt * a_i)
         qv_i = qvel + dt * a_i * ka_prev
         kv = qv_i
-        ka = forward(model, qp_i, qv_i, ctrl).qacc
+        ka = fwd(qp_i, qv_i, 0.0).qacc
         return (kv, ka, acc_v + b_i * kv, acc_a + b_i * ka), None
 
     zeros_v = jnp.zeros_like(qvel)
@@ -157,6 +158,20 @@ def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
     qpos_new = integrate_pos(model, qpos, v_avg, dt)
     qvel_new = qvel + dt * a_avg
     return qpos_new, qvel_new
+
+
+def _substep(integrator: str):
+    return _rk4_substep if integrator == "rk4" else _euler_substep
+
+
+def step_euler(model: PhysicsModel, qpos, qvel, ctrl):
+    fwd = lambda qp, qv, ed: forward(model, qp, qv, ctrl, ed)
+    return _euler_substep(model, qpos, qvel, fwd)
+
+
+def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
+    fwd = lambda qp, qv, ed: forward(model, qp, qv, ctrl, ed)
+    return _rk4_substep(model, qpos, qvel, fwd)
 
 
 def pd_torque(model: PhysicsModel, target: jnp.ndarray, qpos: jnp.ndarray,
@@ -189,39 +204,19 @@ def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
 @partial(jax.jit, static_argnums=0, static_argnames=("n_substeps",))
 def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
                   kp, kd, n_substeps: int = 1):
-    dt = model.dt
     zero_ctrl = jnp.zeros(model.nu, qvel.dtype)
 
-    def fwd(qp, qv, extra_damping=0.0):
+    def fwd(qp, qv, extra_damping):
         return forward(model, qp, qv, zero_ctrl, extra_damping,
                        qfrc_applied=pd_torque(model, target, qp, qv, kp, kd))
 
-    def sub_euler(carry, _):
+    sub = _substep(integrator)
+
+    def body(carry, _):
         qp, qv = carry
-        f = fwd(qp, qv, extra_damping=dt)
-        qv2 = qv + dt * f.qacc
-        return (integrate_pos(model, qp, qv2, dt), qv2), None
+        return sub(model, qp, qv, fwd), None
 
-    def sub_rk4(carry, _):
-        qp, qv = carry
-        a_coefs = jnp.asarray([0.0, 0.5, 0.5, 1.0], qv.dtype)
-        b_coefs = jnp.asarray([1.0, 2.0, 2.0, 1.0], qv.dtype) / 6.0
-
-        def stage(c, coefs):
-            a_i, b_i = coefs
-            kv_prev, ka_prev, acc_v, acc_a = c
-            qp_i = integrate_pos(model, qp, kv_prev, dt * a_i)
-            qv_i = qv + dt * a_i * ka_prev
-            ka = fwd(qp_i, qv_i).qacc
-            return (qv_i, ka, acc_v + b_i * qv_i, acc_a + b_i * ka), None
-
-        z = jnp.zeros_like(qv)
-        (_, _, v_avg, a_avg), _ = jax.lax.scan(
-            stage, (z, z, z, z), (a_coefs, b_coefs))
-        return (integrate_pos(model, qp, v_avg, dt), qv + dt * a_avg), None
-
-    sub = sub_rk4 if integrator == "rk4" else sub_euler
-    (qpos, qvel), _ = jax.lax.scan(sub, (qpos, qvel), None, length=n_substeps)
+    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, length=n_substeps)
     return qpos, qvel
 
 

@@ -133,8 +133,13 @@ class TensorBoardOutputFormat:
         self._step = 0
 
     def writekvs(self, kvs):
+        import math
+
+        # drop non-finite values per-key (Stats.add_all_summary skips the
+        # whole row if ANY value is NaN — e.g. EpLenMean before the first
+        # episode completes — which would silently gap every other scalar)
         numeric = {k: v for k, v in sorted(kvs.items())
-                   if isinstance(v, (int, float))}
+                   if isinstance(v, (int, float)) and math.isfinite(v)}
         self._stats.scalar_keys = list(numeric.keys())
         self._stats.add_all_summary(list(numeric.values()), self._step)
         self._step += 1

@@ -93,7 +93,7 @@ def main() -> None:
 --agent_files assets/agents/ct_agent_humanoid_ppo.json
 --train_agents false
 
---model_files checkpoint_tmp/ppo_{skill}/agent0_model.npz
+--model_files none
 """
         with open(os.path.join(
                 ASSETS, "args", f"train_humanoid3d_{skill}_args.txt"),
