@@ -217,3 +217,32 @@ class TestMassInverse:
         resid = jnp.abs(jnp.matmul(minv, m,
                                    precision=jax.lax.Precision.HIGHEST) - eye)
         assert float(resid.max()) < 1e-4, float(resid.max())
+
+
+class TestMuJoCoDivergenceBudget:
+    """Quantitative contact-regime budget vs real MuJoCo (different solver:
+    APGD vs PGS/Newton, so exactness is bounded by solver differences —
+    beyond ~30 steps a falling trajectory is chaotic and only invariants
+    are meaningful)."""
+
+    def test_twenty_step_contact_budget(self):
+        mujoco = pytest.importorskip("mujoco")
+        import jax
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+        from deepmimic_mujoco_tpu.physics.mj_host import MJHostDynamics
+
+        model = build_humanoid()
+        mj = MJHostDynamics(model)
+        qp = jnp.asarray(model.qpos0)
+        qv = jnp.zeros(model.nv)
+        qp_m, qv_m = np.asarray(qp), np.asarray(qv)
+        rng = np.random.RandomState(0)
+        ac = jnp.asarray(rng.uniform(-0.3, 0.3, 28), jnp.float32)
+        step = jax.jit(lambda a, b: engine.step(model, a, b, ac))
+        for _ in range(20):
+            qp, qv = step(qp, qv)
+            qp_m, qv_m = mj._host_step(qp_m, qv_m, np.asarray(ac), 1)
+        assert float(np.abs(np.asarray(qp) - qp_m).max()) < 0.1
+        assert abs(float(qp[2]) - qp_m[2]) < 0.02
