@@ -23,6 +23,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["alive", "mocap", "imitation"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--task", default="train", choices=["train", "evaluate", "sample"])
+    p.add_argument("--algo", default="trpo", choices=["trpo", "ppo"],
+                   help="trust-region (reference) or vectorized clipped-PPO")
+    # PPO-only knobs (algos/ppo.py)
+    p.add_argument("--ppo-clip", type=float, default=0.2)
+    p.add_argument("--ppo-epochs", type=int, default=4)
+    p.add_argument("--ppo-minibatches", type=int, default=8)
+    p.add_argument("--ppo-lr", type=float, default=3e-4)
+    p.add_argument("--ppo-ent-coef", type=float, default=0.0)
+    p.add_argument("--ppo-lr-decay", type=float, default=1.0)
     # TRPO hyperparams (reference trpo.py:507-515, 338-354)
     p.add_argument("--g-step", type=int, default=3)
     p.add_argument("--policy-entcoeff", type=float, default=0)
@@ -78,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def task_name(args) -> str:
     """Reference get_task_short_name (trpo.py:331-336)."""
-    return f"{args.env_id}/trpo-{args.motion}-{args.seed}"
+    return f"{args.env_id}/{args.algo}-{args.motion}-{args.seed}"
 
 
 def main(argv=None) -> None:
@@ -111,14 +120,27 @@ def main(argv=None) -> None:
         hid_size=args.hid_size, num_hid_layers=args.num_hid_layers,
         fixed_logstd=args.fixed_logstd,
     )
-    cfg = TRPOConfig(
-        horizon=args.timesteps_per_batch, num_envs=args.num_envs,
-        g_step=args.g_step, gamma=args.gamma, lam=args.lam,
-        max_kl=args.max_kl, cg_iters=args.cg_iters, cg_damping=args.cg_damping,
-        vf_iters=args.vf_iters, vf_stepsize=args.vf_stepsize,
-        entcoeff=args.policy_entcoeff, reset_mode=args.reset_mode,
-    )
-    learner = TRPO(env, policy, cfg)
+    if args.algo == "ppo":
+        from deepmimic_mujoco_tpu.algos.ppo import PPO, PPOConfig
+
+        cfg = PPOConfig(
+            horizon=args.timesteps_per_batch, num_envs=args.num_envs,
+            gamma=args.gamma, lam=args.lam, clip_ratio=args.ppo_clip,
+            epochs=args.ppo_epochs, minibatches=args.ppo_minibatches,
+            lr=args.ppo_lr, ent_coef=args.ppo_ent_coef,
+            reset_mode=args.reset_mode, lr_decay=args.ppo_lr_decay,
+        )
+        learner = PPO(env, policy, cfg)
+    else:
+        cfg = TRPOConfig(
+            horizon=args.timesteps_per_batch, num_envs=args.num_envs,
+            g_step=args.g_step, gamma=args.gamma, lam=args.lam,
+            max_kl=args.max_kl, cg_iters=args.cg_iters,
+            cg_damping=args.cg_damping,
+            vf_iters=args.vf_iters, vf_stepsize=args.vf_stepsize,
+            entcoeff=args.policy_entcoeff, reset_mode=args.reset_mode,
+        )
+        learner = TRPO(env, policy, cfg)
     name = task_name(args)
 
     if args.task == "train":

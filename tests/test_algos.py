@@ -196,3 +196,42 @@ class TestGAILSmoke:
         state, stats = learner.iteration(state)
         assert np.isfinite(float(stats.d_loss))
         assert 0.0 <= float(stats.gen_acc) <= 1.0
+
+
+class TestPPO:
+    """Vectorized clipped-PPO (algos/ppo.py)."""
+
+    def _make(self, **kw):
+        from deepmimic_mujoco_tpu.algos.ppo import PPO, PPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size,
+                           fixed_logstd=kw.pop("fixed_logstd", None))
+        cfg = PPOConfig(horizon=8, num_envs=4, epochs=2, minibatches=2, **kw)
+        return PPO(env, policy, cfg)
+
+    def test_iteration_finite_and_advances(self):
+        learner = self._make()
+        state = learner.init(jax.random.PRNGKey(0))
+        state2, stats = learner.iteration(state)
+        assert np.isfinite(float(stats.meankl))
+        assert float(stats.timesteps) == 32
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params["pol"], state2.params["pol"])
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_fixed_logstd_frozen(self):
+        learner = self._make(fixed_logstd=-1.0)
+        state = learner.init(jax.random.PRNGKey(0))
+        state2, _ = learner.iteration(state)
+        np.testing.assert_allclose(np.asarray(state2.params["logstd"]), -1.0)
+
+    def test_lr_decay_applied(self):
+        learner = self._make(lr_decay=0.5)
+        state = learner.init(jax.random.PRNGKey(0))
+        state2, _ = learner.iteration(state)
+        np.testing.assert_allclose(float(state2.lr_scale), 0.5)
