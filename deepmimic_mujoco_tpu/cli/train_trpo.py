@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def task_name(args) -> str:
     """Reference get_task_short_name (trpo.py:331-336)."""
-    return f"{args.env_id}/{args.algo}-{args.motion}-{args.seed}"
+    motion = args.motion.replace(",", "+")
+    return f"{args.env_id}/{args.algo}-{motion}-{args.seed}"
 
 
 def main(argv=None) -> None:
@@ -106,14 +107,28 @@ def main(argv=None) -> None:
     from deepmimic_mujoco_tpu.io_utils import checkpoint
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
-    env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2, "DPEnvV3": DPEnvV3}[args.env_id]
-    env_kwargs = {"clip": args.motion}
-    if args.env_id == "DPEnvV3":
-        env_kwargs.update(
-            reward_mode=args.reward_mode, dynamics=args.dynamics,
-            control_mode=args.control_mode, n_substeps=args.n_substeps,
-            max_episode_steps=args.max_episode_steps)
-    env = env_cls(**env_kwargs)
+    if "," in args.motion:
+        # multi-skill imitation: one policy over several clips
+        from deepmimic_mujoco_tpu.envs import DPEnvV3Multi
+
+        assert args.env_id == "DPEnvV3", "multi-clip requires DPEnvV3"
+        env = DPEnvV3Multi(
+            clips=tuple(args.motion.split(",")),
+            control_mode=(args.control_mode if args.control_mode != "torque"
+                          else "pd_residual"),
+            n_substeps=max(args.n_substeps, 2),
+            max_episode_steps=args.max_episode_steps or 300,
+        )
+    else:
+        env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2,
+                   "DPEnvV3": DPEnvV3}[args.env_id]
+        env_kwargs = {"clip": args.motion}
+        if args.env_id == "DPEnvV3":
+            env_kwargs.update(
+                reward_mode=args.reward_mode, dynamics=args.dynamics,
+                control_mode=args.control_mode, n_substeps=args.n_substeps,
+                max_episode_steps=args.max_episode_steps)
+        env = env_cls(**env_kwargs)
 
     policy = MlpPolicy(
         ob_dim=env.observation_size, ac_dim=env.action_size,

@@ -1,0 +1,169 @@
+"""Multi-skill imitation environment: one policy, many mocap clips.
+
+Beyond the reference (which selects exactly one skill per training run via
+``Config.motion``, config.py:4-18): clips are stacked into padded device
+arrays and each episode imitates the clip named by ``state.clip_id``, with a
+one-hot skill code + phase in the observation.  Everything stays static-shape
+and vmap-safe, so a single jitted TRPO/PPO program trains all skills at once
+(the "multi-skill imitation" target in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepmimic_mujoco_tpu.envs import rewards
+from deepmimic_mujoco_tpu.envs.types import EnvState
+from deepmimic_mujoco_tpu.mocap.constants import END_EFFECTORS
+from deepmimic_mujoco_tpu.mocap.loader import load_clip
+from deepmimic_mujoco_tpu.physics import build_humanoid, engine, kinematics
+
+
+class DPEnvV3Multi:
+    """Skill-conditioned imitation env (imitation reward, PD-residual or PD
+    control).  obs = [one_hot(K) ‖ phase ‖ qpos[7:] ‖ qvel[6:]]."""
+
+    action_size = 28
+
+    def __init__(self, clips: Sequence[str] = ("walk", "run", "spinkick"),
+                 model=None, control_mode: str = "pd_residual",
+                 n_substeps: int = 2, reset_noise: float = 0.01,
+                 max_episode_steps: int = 300):
+        self.model = model if model is not None else build_humanoid()
+        self.clip_names = list(clips)
+        loaded = [load_clip(c) for c in clips]
+        K = len(loaded)
+        tmax = max(len(c) for c in loaded)
+        nq, nv = self.model.nq, self.model.nv
+
+        qpos = np.zeros((K, tmax, nq), np.float32)
+        qvel = np.zeros((K, tmax, nv), np.float32)
+        lens = np.zeros(K, np.int32)
+        wraps = np.zeros(K, bool)
+        cyc_off = np.zeros((K, 3), np.float32)
+        for k, c in enumerate(loaded):
+            T = len(c)
+            lens[k] = T
+            qpos[k, :T] = c.qpos
+            qvel[k, :T] = c.qvel
+            # pad with the final frame so clamped indexing is trivial
+            qpos[k, T:] = c.qpos[-1]
+            qvel[k, T:] = c.qvel[-1]
+            wraps[k] = c.loop == "wrap"
+            if wraps[k]:
+                off = np.asarray(c.qpos[-1, 0:3] - c.qpos[0, 0:3])
+                off[2] = 0.0
+                cyc_off[k] = off
+        self.num_clips = K
+        self.clip_qpos = jnp.asarray(qpos)
+        self.clip_qvel = jnp.asarray(qvel)
+        self.clip_lens = jnp.asarray(lens)
+        self.clip_wraps = jnp.asarray(wraps)
+        self.cycle_offset = jnp.asarray(cyc_off)
+        self.n_substeps = n_substeps
+        self.reset_noise = reset_noise
+        self.max_episode_steps = max_episode_steps
+        self.control_mode = control_mode
+        self.observation_size = K + 1 + (nq - 7) + (nv - 6)
+
+        from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
+
+        kp, kd = kp_kd_vectors()
+        self._kp = jnp.asarray(kp, jnp.float32)
+        self._kd = jnp.asarray(kd, jnp.float32)
+        assert control_mode in ("pd", "pd_residual")
+
+        self._ee_geoms = np.asarray(
+            [self.model.geom_index(n) for n in END_EFFECTORS], np.int32)
+
+        def frame_feats(qp):
+            kin = kinematics.fk(self.model, qp)
+            ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
+            com = kinematics.mass_center(self.model, kin)
+            return ee, com
+
+        ee, com = jax.vmap(jax.vmap(frame_feats))(self.clip_qpos)
+        self.clip_ee = ee      # (K, Tmax, 4, 3)
+        self.clip_com = com    # (K, Tmax, 3)
+
+    # ------------------------------------------------------------------
+    def _clip_index(self, clip_id, mocap_idx):
+        T = self.clip_lens[clip_id]
+        wraps = self.clip_wraps[clip_id]
+        idx = jnp.where(wraps, mocap_idx % T, jnp.minimum(mocap_idx, T - 1))
+        cycles = jnp.where(wraps, (mocap_idx // T).astype(jnp.float32), 0.0)
+        return idx, cycles
+
+    def _obs(self, qpos, qvel, clip_id, mocap_idx):
+        idx, _ = self._clip_index(clip_id, mocap_idx)
+        phase = idx.astype(jnp.float32) / self.clip_lens[clip_id]
+        onehot = jax.nn.one_hot(clip_id, self.num_clips)
+        return jnp.concatenate([onehot, phase[None], qpos[7:], qvel[6:]])
+
+    def _state(self, qpos, qvel, key, clip_id, idx):
+        return EnvState(
+            qpos=qpos, qvel=qvel,
+            obs=self._obs(qpos, qvel, clip_id, idx),
+            reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
+            mocap_idx=idx, init_idx=idx,
+            step_count=jnp.zeros((), jnp.int32), key=key, clip_id=clip_id,
+        )
+
+    def reset(self, key: jax.Array) -> EnvState:
+        """RSI over a uniformly random (clip, frame)."""
+        k_c, k_i, key = jax.random.split(key, 3)
+        clip_id = jax.random.randint(k_c, (), 0, self.num_clips)
+        idx = jax.random.randint(
+            k_i, (), 0, 1 << 30) % self.clip_lens[clip_id]
+        return self._state(self.clip_qpos[clip_id, idx],
+                           self.clip_qvel[clip_id, idx], key, clip_id, idx)
+
+    def reset_at(self, key: jax.Array, clip_id, idx) -> EnvState:
+        clip_id = jnp.asarray(clip_id, jnp.int32)
+        idx = jnp.asarray(idx, jnp.int32)
+        return self._state(self.clip_qpos[clip_id, idx],
+                           self.clip_qvel[clip_id, idx], key, clip_id, idx)
+
+    # ------------------------------------------------------------------
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        clip_id = state.clip_id
+        ref_idx, _ = self._clip_index(clip_id, state.mocap_idx)
+        if self.control_mode == "pd_residual":
+            action = self.clip_qpos[clip_id, ref_idx][7:] + action
+        qpos, qvel = engine.step_pd(
+            self.model, state.qpos, state.qvel, action, self._kp, self._kd,
+            n_substeps=self.n_substeps)
+
+        kin = kinematics.fk(self.model, qpos)
+        com = kinematics.mass_center(self.model, kin)
+        done = (com[2] < 0.7) | (com[2] > 2.0)
+        if self.max_episode_steps:
+            done = done | (state.step_count + 1 >= self.max_episode_steps)
+
+        idx, cycles = self._clip_index(clip_id, state.mocap_idx)
+        offset = cycles * self.cycle_offset[clip_id]
+        ref_qp = self.clip_qpos[clip_id, idx]
+        ref_qv = self.clip_qvel[clip_id, idx]
+        ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
+        reward = rewards.imitation_reward(
+            qpos[7:], ref_qp[7:], qvel, ref_qv,
+            qpos[0:3], ref_qp[0:3] + offset,
+            ee_pos=ee, ref_ee_pos=self.clip_ee[clip_id, idx] + offset,
+            com=com, ref_com=self.clip_com[clip_id, idx] + offset,
+        )
+        mocap_idx = state.mocap_idx + 1
+        # non-looping clips: episode ends when the motion is over
+        done = done | (~self.clip_wraps[clip_id]
+                       & (mocap_idx >= self.clip_lens[clip_id]))
+
+        return EnvState(
+            qpos=qpos, qvel=qvel,
+            obs=self._obs(qpos, qvel, clip_id, mocap_idx),
+            reward=reward, done=done,
+            mocap_idx=mocap_idx, init_idx=state.init_idx,
+            step_count=state.step_count + 1, key=state.key, clip_id=clip_id,
+        )

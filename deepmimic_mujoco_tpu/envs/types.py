@@ -34,13 +34,16 @@ class EnvState:
     init_idx: Any
     step_count: Any
     key: Any
+    # multi-skill envs: index of the active mocap clip (None elsewhere —
+    # None is an empty pytree node, so single-clip envs are unaffected)
+    clip_id: Any = None
 
 
 jax.tree_util.register_dataclass(
     EnvState,
     data_fields=[
         "qpos", "qvel", "obs", "reward", "done",
-        "mocap_idx", "init_idx", "step_count", "key",
+        "mocap_idx", "init_idx", "step_count", "key", "clip_id",
     ],
     meta_fields=[],
 )

@@ -282,3 +282,53 @@ class TestPDControlAndImitation:
         learner = TRPO(env, policy, cfg)
         state, stats = learner.iteration(learner.init(jax.random.PRNGKey(0)))
         assert np.isfinite(float(stats.meankl))
+
+
+class TestMultiClip:
+    """Skill-conditioned multi-clip imitation env (envs/multi_clip.py)."""
+
+    @pytest.fixture(scope="class")
+    def env(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3Multi
+
+        return DPEnvV3Multi(clips=("walk", "run", "punch"))
+
+    def test_obs_layout(self, env):
+        assert env.observation_size == 3 + 1 + 28 + 28
+        s = env.reset_at(jax.random.PRNGKey(0), 1, 4)
+        onehot = np.asarray(s.obs[:3])
+        np.testing.assert_allclose(onehot, [0, 1, 0])
+        np.testing.assert_allclose(
+            float(s.obs[3]), 4 / float(env.clip_lens[1]), rtol=1e-6)
+
+    def test_batched_step_mixed_clips(self, env):
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+        s = jax.vmap(env.reset)(keys)
+        assert len(set(s.clip_id.tolist())) > 1  # several skills drawn
+        step = jax.jit(jax.vmap(env.step))
+        for _ in range(3):
+            s = step(s, jnp.zeros((8, 28)))
+        assert bool(jnp.isfinite(s.obs).all())
+        assert bool((s.reward >= 0).all() & (s.reward <= 1).all())
+
+    def test_nonloop_clip_ends_episode(self, env):
+        k = 2  # punch, loop == none
+        T = int(env.clip_lens[k])
+        s = env.reset_at(jax.random.PRNGKey(0), k, T - 2)
+        step = jax.jit(env.step)
+        s = step(s, jnp.zeros(28))
+        s = step(s, jnp.zeros(28))
+        assert bool(s.done)
+
+    def test_trains_with_trpo(self, env):
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size, fixed_logstd=-2.0)
+        cfg = TRPOConfig(horizon=6, num_envs=4, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=4, line_search_steps=2,
+                         reset_mode="rsi")
+        learner = TRPO(env, policy, cfg)
+        state, stats = learner.iteration(learner.init(jax.random.PRNGKey(0)))
+        assert np.isfinite(float(stats.meankl))
