@@ -20,7 +20,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-id", default="DPEnvV3")
     p.add_argument("--motion", default="walk", help="mocap clip (Config.motion)")
     p.add_argument("--reward-mode", default="alive",
-                   choices=["alive", "mocap", "imitation"])
+                   choices=["alive", "mocap", "imitation", "imitation_dm"],
+                   help="imitation = the port's L1 formulas; imitation_dm = "
+                        "the ORIGINAL DeepMimic reward (squared errors, "
+                        "heading-relative end effectors, com velocity)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--task", default="train", choices=["train", "evaluate", "sample"])
     p.add_argument("--algo", default="trpo", choices=["trpo", "ppo"],

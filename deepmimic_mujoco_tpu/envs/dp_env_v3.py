@@ -69,7 +69,7 @@ class DPEnvV3:
         self.model = model if model is not None else build_humanoid()
         self.control_mode = control_mode
         if include_phase is None:
-            include_phase = reward_mode == "imitation"
+            include_phase = reward_mode in ("imitation", "imitation_dm")
         self.include_phase = include_phase
         self.observation_size = 56 + (1 if include_phase else 0)
         self.max_episode_steps = max_episode_steps
@@ -128,17 +128,20 @@ class DPEnvV3:
         else:
             off = np.zeros(3)
         self.cycle_offset = jnp.asarray(off, jnp.float32)
-        if reward_mode == "imitation":
+        if reward_mode in ("imitation", "imitation_dm"):
             # precompute reference end-effector / COM tracks via batched FK
-            def frame_feats(qp):
+            def frame_feats(qp, qv):
                 kin = kinematics.fk(self.model, qp)
                 ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
                 com = kinematics.mass_center(self.model, kin)
-                return ee, com
+                com_vel = kinematics.com_velocity(self.model, kin, qv)
+                return ee, com, com_vel
 
-            ee, com = jax.vmap(frame_feats)(self.clip_qpos)
-            self.clip_ee = ee      # (T, 4, 3)
-            self.clip_com = com    # (T, 3)
+            ee, com, com_vel = jax.vmap(frame_feats)(
+                self.clip_qpos, self.clip_qvel)
+            self.clip_ee = ee            # (T, 4, 3)
+            self.clip_com = com          # (T, 3)
+            self.clip_com_vel = com_vel  # (T, 3)
 
     # ------------------------------------------------------------------
     def _clip_index(self, mocap_idx):
@@ -228,6 +231,25 @@ class DPEnvV3:
             if not self.clip_wraps:
                 # the motion is over → episode ends (original DeepMimic ends
                 # non-looping imitation episodes at the clip end)
+                done = done | (mocap_idx >= self.clip_len)
+        elif self.reward_mode == "imitation_dm":
+            # the ORIGINAL DeepMimic reward (rewards.deepmimic_reward):
+            # squared errors, heading-normalized relative end effectors,
+            # com-velocity term — every component invariant to the per-cycle
+            # root x-y offset except root position, which is re-based
+            idx, cycles = self._clip_index(mocap_idx)
+            offset = cycles * self.cycle_offset
+            ref_qp = self.clip_qpos[idx].at[0:3].add(offset)
+            ref_qv = self.clip_qvel[idx]
+            ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
+            com_vel = kinematics.com_velocity(self.model, kin, qvel)
+            reward = rewards.deepmimic_reward(
+                qpos, qvel, ref_qp, ref_qv,
+                ee_pos=ee, ref_ee_pos=self.clip_ee[idx] + offset,
+                com_vel=com_vel, ref_com_vel=self.clip_com_vel[idx],
+            )
+            mocap_idx = mocap_idx + 1
+            if not self.clip_wraps:
                 done = done | (mocap_idx >= self.clip_len)
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")

@@ -108,3 +108,13 @@ def mass_center(model: PhysicsModel, kin: Kin) -> jnp.ndarray:
     (/root/reference/src/dp_env_v3.py:29-32,134-139)."""
     m = model.body_mass
     return jnp.sum(m[:, None] * kin.xcom, axis=0) / jnp.sum(m)
+
+
+def com_velocity(model: PhysicsModel, kin: Kin, qvel: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Whole-body COM velocity (3,) = Σmᵢ·(J_lin,i q̇)/M — the ``CalcCOMVel``
+    input of the original DeepMimic reward's com term."""
+    j_lin, _ = com_jacobians(model, kin)          # (nbody, 3, nv)
+    v = jnp.einsum("bij,j->bi", j_lin, qvel)      # (nbody, 3)
+    m = model.body_mass
+    return jnp.sum(m[:, None] * v, axis=0) / jnp.sum(m)

@@ -332,3 +332,22 @@ class TestMultiClip:
         learner = TRPO(env, policy, cfg)
         state, stats = learner.iteration(learner.init(jax.random.PRNGKey(0)))
         assert np.isfinite(float(stats.meankl))
+
+    def test_imitation_dm_reward(self):
+        """Original-spec DeepMimic reward: a perfect tracker scores ~1 and
+        the reward is continuous across clip wraps."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation_dm")
+        T = env.clip_len
+        step = jax.jit(env.step)
+        rews = []
+        for t in range(2 * T):
+            idx, cyc = t % T, t // T
+            qp = env.clip_qpos[idx].at[0:3].add(cyc * env.cycle_offset)
+            s = env._state(qp, env.clip_qvel[idx], jax.random.PRNGKey(0),
+                           jnp.asarray(idx), jnp.asarray(t))
+            rews.append(float(step(s, qp[7:]).reward))
+        c0, c1 = np.mean(rews[:T]), np.mean(rews[T:])
+        assert c0 > 0.9, c0
+        assert abs(c0 - c1) < 0.02, (c0, c1)
