@@ -32,7 +32,8 @@ class DPEnvV3Multi:
     def __init__(self, clips: Sequence[str] = ("walk", "run", "spinkick"),
                  model=None, control_mode: str = "pd_residual",
                  n_substeps: int = 2, reset_noise: float = 0.01,
-                 max_episode_steps: int = 300):
+                 max_episode_steps: int = 300,
+                 reward_mode: str = "imitation_dm"):
         self.model = model if model is not None else build_humanoid()
         self.clip_names = list(clips)
         loaded = [load_clip(c) for c in clips]
@@ -76,19 +77,24 @@ class DPEnvV3Multi:
         self._kp = jnp.asarray(kp, jnp.float32)
         self._kd = jnp.asarray(kd, jnp.float32)
         assert control_mode in ("pd", "pd_residual")
+        assert reward_mode in ("imitation", "imitation_dm")
+        self.reward_mode = reward_mode
 
         self._ee_geoms = np.asarray(
             [self.model.geom_index(n) for n in END_EFFECTORS], np.int32)
 
-        def frame_feats(qp):
+        def frame_feats(qp, qv):
             kin = kinematics.fk(self.model, qp)
             ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
             com = kinematics.mass_center(self.model, kin)
-            return ee, com
+            com_vel = kinematics.com_velocity(self.model, kin, qv)
+            return ee, com, com_vel
 
-        ee, com = jax.vmap(jax.vmap(frame_feats))(self.clip_qpos)
-        self.clip_ee = ee      # (K, Tmax, 4, 3)
-        self.clip_com = com    # (K, Tmax, 3)
+        ee, com, com_vel = jax.vmap(jax.vmap(frame_feats))(
+            self.clip_qpos, self.clip_qvel)
+        self.clip_ee = ee            # (K, Tmax, 4, 3)
+        self.clip_com = com          # (K, Tmax, 3)
+        self.clip_com_vel = com_vel  # (K, Tmax, 3)
 
     # ------------------------------------------------------------------
     def _clip_index(self, clip_id, mocap_idx):
@@ -149,12 +155,20 @@ class DPEnvV3Multi:
         ref_qp = self.clip_qpos[clip_id, idx]
         ref_qv = self.clip_qvel[clip_id, idx]
         ee = kinematics.geom_world_pos(self.model, kin)[self._ee_geoms]
-        reward = rewards.imitation_reward(
-            qpos[7:], ref_qp[7:], qvel, ref_qv,
-            qpos[0:3], ref_qp[0:3] + offset,
-            ee_pos=ee, ref_ee_pos=self.clip_ee[clip_id, idx] + offset,
-            com=com, ref_com=self.clip_com[clip_id, idx] + offset,
-        )
+        if self.reward_mode == "imitation_dm":
+            com_vel = kinematics.com_velocity(self.model, kin, qvel)
+            reward = rewards.deepmimic_reward(
+                qpos, qvel, ref_qp.at[0:3].add(offset), ref_qv,
+                ee_pos=ee, ref_ee_pos=self.clip_ee[clip_id, idx] + offset,
+                com_vel=com_vel, ref_com_vel=self.clip_com_vel[clip_id, idx],
+            )
+        else:
+            reward = rewards.imitation_reward(
+                qpos[7:], ref_qp[7:], qvel, ref_qv,
+                qpos[0:3], ref_qp[0:3] + offset,
+                ee_pos=ee, ref_ee_pos=self.clip_ee[clip_id, idx] + offset,
+                com=com, ref_com=self.clip_com[clip_id, idx] + offset,
+            )
         mocap_idx = state.mocap_idx + 1
         # non-looping clips: episode ends when the motion is over
         done = done | (~self.clip_wraps[clip_id]
