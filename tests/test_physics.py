@@ -246,3 +246,28 @@ class TestMuJoCoDivergenceBudget:
             qp_m, qv_m = mj._host_step(qp_m, qv_m, np.asarray(ac), 1)
         assert float(np.abs(np.asarray(qp) - qp_m).max()) < 0.1
         assert abs(float(qp[2]) - qp_m[2]) < 0.02
+
+
+class TestComVelocity:
+    def test_matches_finite_difference(self):
+        import jax
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import (build_humanoid, engine,
+                                                  kinematics)
+
+        model = build_humanoid()
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(model.qpos0).at[7:].add(
+            0.2 * jax.random.normal(k1, (model.nv - 6,)))
+        qvel = 0.5 * jax.random.normal(k2, (model.nv,))
+        kin = kinematics.fk(model, qpos)
+        v = kinematics.com_velocity(model, kin, qvel)
+        h = 1e-4
+        qpos2 = engine.integrate_pos(model, qpos, qvel, h)
+        c1 = kinematics.mass_center(model, kinematics.fk(model, qpos))
+        c2 = kinematics.mass_center(model, kinematics.fk(model, qpos2))
+        v_fd = (c2 - c1) / h
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_fd),
+                                   atol=5e-3)
