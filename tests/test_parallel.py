@@ -86,6 +86,41 @@ class TestShardedTraining:
         flat = jax.flatten_util.ravel_pytree(state2.params)[0]
         assert bool(jnp.isfinite(flat).all())
 
+
+
+    def test_ppo_step_sharded_over_mesh(self, mesh):
+        """Full PPO iteration with env state sharded over 8 devices."""
+        from deepmimic_mujoco_tpu.algos.ppo import PPO, PPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=56, ac_dim=28)
+        cfg = PPOConfig(horizon=2, num_envs=16, epochs=1, minibatches=2)
+        learner = PPO(env, policy, cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+
+        env_sh = NamedSharding(mesh, P("env"))
+        repl = NamedSharding(mesh, P())
+        place = lambda t, s: jax.tree.map(lambda x: jax.device_put(x, s), t)
+        state = dataclasses.replace(
+            state,
+            params=place(state.params, repl),
+            opt=place(state.opt, repl),
+            env_state=place(state.env_state, env_sh),
+            new=jax.device_put(state.new, env_sh),
+            key=jax.device_put(state.key, repl),
+            cur_ep_ret=jax.device_put(state.cur_ep_ret, env_sh),
+            cur_ep_len=jax.device_put(state.cur_ep_len, env_sh),
+            lr_scale=jax.device_put(state.lr_scale, repl),
+        )
+        with mesh:
+            state2, stats = learner.iteration(state)
+            jax.block_until_ready(state2.params)
+        assert np.isfinite(float(stats.meankl))
+        flat = jax.flatten_util.ravel_pytree(state2.params)[0]
+        assert bool(jnp.isfinite(flat).all())
+
     def test_sharded_matches_single_device(self, mesh):
         """Same seed, same config: sharded and unsharded iterations produce
         the same parameters (the reference's replica-consistency invariant,
