@@ -62,6 +62,14 @@ class MujocoDset:
         if obs.dtype == object:
             self.obs = np.vstack([np.asarray(o).reshape(len(o), -1) for o in obs])
             self.acs = np.vstack([np.asarray(a).reshape(len(a), -1) for a in acs])
+        elif "lens" in traj_data.files:
+            # dense batched export (runner.evaluate): rows past each
+            # episode's length are frozen-state padding — drop them, or the
+            # discriminator trains on terminal-pose duplicates
+            lens = np.asarray(traj_data["lens"][:traj_limitation], np.int64)
+            mask = np.arange(obs.shape[1])[None, :] < lens[:, None]
+            self.obs = obs[mask]
+            self.acs = acs[mask]
         else:
             self.obs = obs.reshape(-1, obs.shape[-1])
             self.acs = acs.reshape(-1, acs.shape[-1])

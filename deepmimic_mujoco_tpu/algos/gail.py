@@ -158,6 +158,7 @@ class GAIL:
         ep_len_sum = jnp.zeros((), jnp.float32)
         ep_count = jnp.zeros((), jnp.float32)
         true_sum = jnp.zeros((), jnp.float32)
+        ep_len_sum_last = jnp.zeros((), jnp.float32)
         meanlosses = jnp.zeros(5, jnp.float32)
         ev = jnp.zeros((), jnp.float32)
         last_ob = None

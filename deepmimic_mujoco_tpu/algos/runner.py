@@ -47,7 +47,6 @@ def evaluate(env, policy, params, key, n_episodes: int = 100,
                 ac = mean
             nxt = jax.vmap(env.step)(state, ac)
             # freeze finished envs
-            keep = alive.reshape((-1,) + (1,) * 0)
             ep_ret = ep_ret + jnp.where(alive, nxt.reward, 0.0)
             ep_len = ep_len + jnp.where(alive, 1, 0)
             alive2 = alive & ~nxt.done

@@ -258,7 +258,7 @@ class TRPO:
             mask = None
 
         # Fisher-vector product via double-vjp of mean KL on every 5th row
-        fvp_ob, fvp_ac, fvp_at = ob[::5], ac[::5], atarg[::5]
+        fvp_ob = ob[::5]
 
         def meankl_at(theta):
             return jnp.mean(self.policy.kl(params_old, with_pol(theta), fvp_ob))

@@ -62,4 +62,7 @@ def joint_limits(model: PhysicsModel, qpos: jnp.ndarray) -> Limits:
     dist = jnp.where(lower_worse, d_lo, d_hi)
     sign = jnp.where(lower_worse, 1.0, -1.0)
     active = (dist < 0.0) & model.hinge_limited
+    # unlimited hinges report a neutral depth so the solver's deepest-first
+    # top-k can never rank them above a genuinely violated limit row
+    dist = jnp.where(model.hinge_limited, dist, 0.0)
     return Limits(pos=dist, active=active, sign=sign)

@@ -69,15 +69,17 @@ def parse_mjcf(xml_string: str, contact_cap: int = 1 << 30,
 
     geom_counter = [0]
     root_pos = [None]
+    root_quat = [None]
 
     def walk(body_el, parent_name: Optional[str]):
         name = body_el.get("name") or f"body{len(b.bodies)}"
         pos = _floats(body_el.get("pos"), (0, 0, 0))
         quat = _floats(body_el.get("quat"), (1, 0, 0, 0))
         if parent_name is None:
-            # free-root: the XML pos is only the initial qpos; FK reads the
-            # root position from qpos directly (body_pos kept for metadata)
+            # free-root: the XML pos/quat are only the initial qpos; FK
+            # reads the root pose from qpos directly (body fields metadata)
             root_pos[0] = pos
+            root_quat[0] = quat
         b.add_body(name, parent_name, pos=pos, quat=quat)
 
         for joint in body_el.findall("joint"):
@@ -88,6 +90,15 @@ def parse_mjcf(xml_string: str, contact_cap: int = 1 << 30,
                 continue
             if jtype != "hinge":
                 raise ValueError(f"unsupported joint type {jtype!r}")
+            jpos = _floats(joint.get("pos"), (0, 0, 0))
+            if any(abs(v) > 1e-12 for v in jpos):
+                # the engine anchors hinges at the body-frame origin
+                # (kinematics.fk); a silent origin-anchor import would
+                # simulate different dynamics than MuJoCo — fail loud
+                raise ValueError(
+                    f"hinge {joint.get('name')!r} has a non-origin pos "
+                    f"{jpos}; re-author the model with joint anchors at "
+                    "body origins (supported engine convention)")
             jname = joint.get("name") or f"{name}_j"
             axis = _floats(joint.get("axis"), (0, 0, 1))
             rng = _floats(joint.get("range"), (0.0, 0.0))
@@ -134,7 +145,8 @@ def parse_mjcf(xml_string: str, contact_cap: int = 1 << 30,
                                    motor_default["ctrlrange"]),
             )
 
-    return b.finalize(root_pos=root_pos[0] or (0, 0, 0))
+    return b.finalize(root_pos=root_pos[0] or (0, 0, 0),
+                      root_quat=root_quat[0] or (1, 0, 0, 0))
 
 
 def load_mjcf(path: str, **kwargs) -> PhysicsModel:

@@ -223,7 +223,8 @@ class ModelBuilder:
         self.actuators.append((hinge_name, gear, ctrl_range[0], ctrl_range[1]))
 
     # -- finalization ------------------------------------------------------
-    def finalize(self, root_pos=(0.0, 0.0, 0.9)) -> PhysicsModel:
+    def finalize(self, root_pos=(0.0, 0.0, 0.9),
+                 root_quat=(1.0, 0.0, 0.0, 0.0)) -> PhysicsModel:
         nbody = len(self.bodies)
         nh = len(self.hinges)
         nq, nv = 7 + nh, 6 + nh
@@ -277,7 +278,8 @@ class ModelBuilder:
 
         qpos0 = np.zeros(nq)
         qpos0[0:3] = np.asarray(root_pos)
-        qpos0[3] = 1.0
+        rq = np.asarray(root_quat, np.float64)
+        qpos0[3:7] = rq / np.linalg.norm(rq)
 
         # ancestor mask: dof d moves body i iff the dof's body is an
         # ancestor-or-self of i.  Root free-joint dofs (0..5) move everything.

@@ -79,3 +79,33 @@ class TestMJCFRoundTrip:
         </body></worldbody></mujoco>"""
         with pytest.raises(ValueError, match="unsupported joint type"):
             parse_mjcf(xml)
+
+
+class TestMJCFReviewFixes:
+    def test_root_quat_into_qpos0(self):
+        from deepmimic_mujoco_tpu.physics.mjcf import parse_mjcf
+
+        xml = """<mujoco><worldbody>
+          <body name="root" pos="0 0 1" quat="0.7071068 0 0.7071068 0">
+            <joint type="free"/>
+            <geom type="sphere" size="0.1" mass="1"/>
+          </body></worldbody></mujoco>"""
+        m = parse_mjcf(xml)
+        np.testing.assert_allclose(
+            np.asarray(m.qpos0[3:7]), [0.7071068, 0, 0.7071068, 0],
+            atol=1e-6)
+
+    def test_nonorigin_hinge_pos_rejected(self):
+        from deepmimic_mujoco_tpu.physics.mjcf import parse_mjcf
+
+        xml = """<mujoco><worldbody>
+          <body name="root" pos="0 0 1">
+            <joint type="free"/>
+            <geom type="sphere" size="0.1" mass="1"/>
+            <body name="arm" pos="0 0 -0.2">
+              <joint name="j" type="hinge" pos="0 0.1 0" axis="0 1 0"/>
+              <geom type="sphere" size="0.05" mass="0.2"/>
+            </body>
+          </body></worldbody></mujoco>"""
+        with pytest.raises(ValueError, match="non-origin pos"):
+            parse_mjcf(xml)
