@@ -33,7 +33,7 @@ def main() -> None:
     from deepmimic_mujoco_tpu.envs import DPEnvV3
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 512))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 768))
     horizon = int(os.environ.get("BENCH_HORIZON", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
