@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lam", type=float, default=0.97)
     p.add_argument("--hid-size", type=int, default=100)
     p.add_argument("--num-hid-layers", type=int, default=2)
+    p.add_argument("--hidden-sizes", default=None,
+                   help="comma list overriding hid-size, e.g. 1024,512 "
+                        "(the original DeepMimic net)")
+    p.add_argument("--activation", default="tanh", choices=["tanh", "relu"])
+    p.add_argument("--obs-mode", default=None, choices=["legacy", "full"],
+                   help="legacy = reference 56-D qpos/qvel obs; full = adds "
+                        "root height/orientation/velocity (default: full "
+                        "for imitation reward modes)")
     p.add_argument("--fixed-logstd", type=float, default=None,
                    help="freeze exploration noise at this logstd "
                         "(DeepMimic-style fixed noise, e.g. -1.6 ~ std 0.2)")
@@ -111,16 +119,38 @@ def main(argv=None) -> None:
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
     if "," in args.motion:
-        # multi-skill imitation: one policy over several clips
+        # multi-skill imitation: one policy over several clips.  The env only
+        # supports PD control + imitation rewards on the JAX backend — warn
+        # instead of silently dropping explicit user flags.
+        import warnings
+
         from deepmimic_mujoco_tpu.envs import DPEnvV3Multi
 
         assert args.env_id == "DPEnvV3", "multi-clip requires DPEnvV3"
+        if args.control_mode == "torque":
+            warnings.warn("multi-clip training requires PD control: "
+                          "--control-mode torque replaced by pd_residual")
+        if args.reward_mode in ("alive", "mocap"):
+            if args.reward_mode != "alive":  # non-default ⇒ explicit
+                warnings.warn(f"--reward-mode {args.reward_mode} is not an "
+                              "imitation mode; multi-clip uses imitation_dm")
+            reward_mode = "imitation_dm"
+        else:
+            reward_mode = args.reward_mode
+        if args.dynamics != "jax":
+            warnings.warn("multi-clip supports the JAX backend only; "
+                          f"--dynamics {args.dynamics} ignored")
+        if 0 < args.n_substeps < 2:
+            warnings.warn("multi-clip requires >=2 substeps (30 Hz control); "
+                          f"--n-substeps {args.n_substeps} raised to 2")
         env = DPEnvV3Multi(
             clips=tuple(args.motion.split(",")),
             control_mode=(args.control_mode if args.control_mode != "torque"
                           else "pd_residual"),
+            reward_mode=reward_mode,
             n_substeps=max(args.n_substeps, 2),
             max_episode_steps=args.max_episode_steps or 300,
+            obs_mode=args.obs_mode or "full",
         )
     else:
         env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2,
@@ -130,13 +160,17 @@ def main(argv=None) -> None:
             env_kwargs.update(
                 reward_mode=args.reward_mode, dynamics=args.dynamics,
                 control_mode=args.control_mode, n_substeps=args.n_substeps,
-                max_episode_steps=args.max_episode_steps)
+                max_episode_steps=args.max_episode_steps,
+                obs_mode=args.obs_mode)
         env = env_cls(**env_kwargs)
 
+    hidden_sizes = (tuple(int(h) for h in args.hidden_sizes.split(","))
+                    if args.hidden_sizes else None)
     policy = MlpPolicy(
         ob_dim=env.observation_size, ac_dim=env.action_size,
         hid_size=args.hid_size, num_hid_layers=args.num_hid_layers,
         fixed_logstd=args.fixed_logstd,
+        hidden_sizes=hidden_sizes, activation=args.activation,
     )
     if args.algo == "ppo":
         from deepmimic_mujoco_tpu.algos.ppo import PPO, PPOConfig

@@ -37,6 +37,24 @@ from deepmimic_mujoco_tpu.mocap.constants import END_EFFECTORS
 from deepmimic_mujoco_tpu.mocap.loader import MocapClip, load_clip
 from deepmimic_mujoco_tpu.physics import build_humanoid, engine, kinematics
 from deepmimic_mujoco_tpu.physics.model import PhysicsModel
+from deepmimic_mujoco_tpu.utils import quaternion as quat
+
+
+def root_obs(qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
+    """Heading-invariant root features (11-D) for the 'full' obs mode:
+    [root height (1), heading-normalized root quaternion (4, w≥0),
+    heading-local root linear velocity (3), body-local root angular
+    velocity (3)].  The same information the original DeepMimic
+    ``record_state`` carries for the root (heading-normalized frame,
+    mujoco/mujoco_env.py:91-124), without the per-body expansion."""
+    q = qpos[3:7]
+    q = jnp.where(q[0] < 0, -q, q)
+    hq = quat.heading_inverse(q)
+    q_local = quat.mul(hq, q)
+    q_local = jnp.where(q_local[0] < 0, -q_local, q_local)
+    v_local = quat.rotate(hq, qvel[0:3])
+    # qvel[3:6] is already body-local angular velocity (free-joint layout)
+    return jnp.concatenate([qpos[2:3], q_local, v_local, qvel[3:6]])
 
 
 class DPEnvV3:
@@ -58,6 +76,7 @@ class DPEnvV3:
         control_mode: str = "torque",
         include_phase: Optional[bool] = None,
         max_episode_steps: int = 0,
+        obs_mode: Optional[str] = None,
     ):
         """``control_mode``: 'torque' (reference v3 — actions are motor ctrl
         through gear/ctrlrange) or 'pd' (DeepMimic-proper — actions are joint
@@ -65,13 +84,31 @@ class DPEnvV3:
         engine.step_pd).  ``include_phase``: prepend the normalized mocap
         phase to the observation (defaults on for the imitation reward, which
         is time-indexed and unlearnable without it).  ``max_episode_steps``:
-        0 = reference behaviour (no cap); >0 adds a time-limit done."""
+        0 = reference behaviour (no cap); >0 adds a time-limit done.
+
+        ``obs_mode``: 'legacy' = the reference's qpos[7:] ‖ qvel[6:] 56-D obs
+        (dp_env_v3.py:62-65 — a quirk that hides the root entirely: fine for
+        the standup task, fatal for imitation, where the policy must sense
+        tipping); 'full' = DeepMimic-style root-aware obs prepending
+        [root height, heading-normalized root quat, heading-local root linear
+        velocity, body-local root angular velocity] (11-D) to the legacy
+        core, matching the information content of the original 197-D
+        ``record_state`` (mujoco/mujoco_env.py:91-124) in compact form.
+        Defaults to 'full' for the imitation reward modes, 'legacy'
+        otherwise."""
         self.model = model if model is not None else build_humanoid()
         self.control_mode = control_mode
         if include_phase is None:
             include_phase = reward_mode in ("imitation", "imitation_dm")
         self.include_phase = include_phase
-        self.observation_size = 56 + (1 if include_phase else 0)
+        if obs_mode is None:
+            obs_mode = ("full" if reward_mode in ("imitation", "imitation_dm")
+                        else "legacy")
+        if obs_mode not in ("legacy", "full"):
+            raise ValueError(f"unknown obs_mode {obs_mode!r}")
+        self.obs_mode = obs_mode
+        core = 56 + (11 if obs_mode == "full" else 0)
+        self.observation_size = core + (1 if include_phase else 0)
         self.max_episode_steps = max_episode_steps
         if control_mode in ("pd", "pd_residual"):
             from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
@@ -157,6 +194,8 @@ class DPEnvV3:
 
     def _obs(self, qpos, qvel, mocap_idx):
         core = jnp.concatenate([qpos[7:], qvel[6:]])
+        if self.obs_mode == "full":
+            core = jnp.concatenate([root_obs(qpos, qvel), core])
         if not self.include_phase:
             return core
         idx, _ = self._clip_index(mocap_idx)
@@ -198,7 +237,11 @@ class DPEnvV3:
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         if self.control_mode == "pd_residual":
-            ref_idx, _ = self._clip_index(state.mocap_idx)
+            # target the frame the character should REACH by the end of this
+            # control step (the advanced cursor) — targeting the current
+            # frame leaves a permanent one-frame lag in the feed-forward
+            imit = self.reward_mode in ("imitation", "imitation_dm")
+            ref_idx, _ = self._clip_index(state.mocap_idx + (1 if imit else 0))
             action = self.clip_qpos[ref_idx][7:] + action
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
@@ -216,6 +259,13 @@ class DPEnvV3:
             reward = jnp.exp(-err)
             mocap_idx = (mocap_idx + 1) % self.clip_len
         elif self.reward_mode == "imitation":
+            # the cursor advances FIRST: the post-step pose is compared with
+            # the post-step clip frame.  (Comparing against the pre-advance
+            # frame — the convention of the reference's commented-out reward,
+            # dp_env_v3.py:101-102, preserved in the 'mocap' mode above —
+            # penalizes a perfect tracker by one frame and makes the pose and
+            # velocity targets mutually inconsistent.)
+            mocap_idx = mocap_idx + 1
             idx, cycles = self._clip_index(mocap_idx)
             offset = cycles * self.cycle_offset  # root re-basing per cycle
             ref_qp = self.clip_qpos[idx]
@@ -227,16 +277,17 @@ class DPEnvV3:
                 ee_pos=ee, ref_ee_pos=self.clip_ee[idx] + offset,
                 com=com, ref_com=self.clip_com[idx] + offset,
             )
-            mocap_idx = mocap_idx + 1
             if not self.clip_wraps:
                 # the motion is over → episode ends (original DeepMimic ends
                 # non-looping imitation episodes at the clip end)
-                done = done | (mocap_idx >= self.clip_len)
+                done = done | (mocap_idx >= self.clip_len - 1)
         elif self.reward_mode == "imitation_dm":
             # the ORIGINAL DeepMimic reward (rewards.deepmimic_reward):
             # squared errors, heading-normalized relative end effectors,
             # com-velocity term — every component invariant to the per-cycle
-            # root x-y offset except root position, which is re-based
+            # root x-y offset except root position, which is re-based.
+            # Cursor advances first (see the 'imitation' branch).
+            mocap_idx = mocap_idx + 1
             idx, cycles = self._clip_index(mocap_idx)
             offset = cycles * self.cycle_offset
             ref_qp = self.clip_qpos[idx].at[0:3].add(offset)
@@ -248,9 +299,8 @@ class DPEnvV3:
                 ee_pos=ee, ref_ee_pos=self.clip_ee[idx] + offset,
                 com_vel=com_vel, ref_com_vel=self.clip_com_vel[idx],
             )
-            mocap_idx = mocap_idx + 1
             if not self.clip_wraps:
-                done = done | (mocap_idx >= self.clip_len)
+                done = done | (mocap_idx >= self.clip_len - 1)
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepmimic_mujoco_tpu.envs import rewards
+from deepmimic_mujoco_tpu.envs.dp_env_v3 import root_obs
 from deepmimic_mujoco_tpu.envs.types import EnvState
 from deepmimic_mujoco_tpu.mocap.constants import END_EFFECTORS
 from deepmimic_mujoco_tpu.mocap.loader import load_clip
@@ -25,15 +26,17 @@ from deepmimic_mujoco_tpu.physics import build_humanoid, engine, kinematics
 
 class DPEnvV3Multi:
     """Skill-conditioned imitation env (imitation reward, PD-residual or PD
-    control).  obs = [one_hot(K) ‖ phase ‖ qpos[7:] ‖ qvel[6:]]."""
+    control).  obs = [one_hot(K) ‖ phase ‖ root_obs(11) ‖ qpos[7:] ‖
+    qvel[6:]] — root-aware by default (see DPEnvV3 ``obs_mode='full'``)."""
 
     action_size = 28
 
     def __init__(self, clips: Sequence[str] = ("walk", "run", "spinkick"),
                  model=None, control_mode: str = "pd_residual",
-                 n_substeps: int = 2, reset_noise: float = 0.01,
+                 n_substeps: int = 2,
                  max_episode_steps: int = 300,
-                 reward_mode: str = "imitation_dm"):
+                 reward_mode: str = "imitation_dm",
+                 obs_mode: str = "full"):
         self.model = model if model is not None else build_humanoid()
         self.clip_names = list(clips)
         loaded = [load_clip(c) for c in clips]
@@ -66,10 +69,13 @@ class DPEnvV3Multi:
         self.clip_wraps = jnp.asarray(wraps)
         self.cycle_offset = jnp.asarray(cyc_off)
         self.n_substeps = n_substeps
-        self.reset_noise = reset_noise
         self.max_episode_steps = max_episode_steps
         self.control_mode = control_mode
-        self.observation_size = K + 1 + (nq - 7) + (nv - 6)
+        if obs_mode not in ("legacy", "full"):
+            raise ValueError(f"unknown obs_mode {obs_mode!r}")
+        self.obs_mode = obs_mode
+        self.observation_size = (K + 1 + (11 if obs_mode == "full" else 0)
+                                 + (nq - 7) + (nv - 6))
 
         from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
 
@@ -108,7 +114,11 @@ class DPEnvV3Multi:
         idx, _ = self._clip_index(clip_id, mocap_idx)
         phase = idx.astype(jnp.float32) / self.clip_lens[clip_id]
         onehot = jax.nn.one_hot(clip_id, self.num_clips)
-        return jnp.concatenate([onehot, phase[None], qpos[7:], qvel[6:]])
+        parts = [onehot, phase[None]]
+        if self.obs_mode == "full":
+            parts.append(root_obs(qpos, qvel))
+        parts += [qpos[7:], qvel[6:]]
+        return jnp.concatenate(parts)
 
     def _state(self, qpos, qvel, key, clip_id, idx):
         return EnvState(
@@ -137,7 +147,11 @@ class DPEnvV3Multi:
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         clip_id = state.clip_id
-        ref_idx, _ = self._clip_index(clip_id, state.mocap_idx)
+        # cursor advances first; PD feed-forward and reward both reference
+        # the frame the character should reach by the END of this control
+        # step (see DPEnvV3.step for rationale)
+        mocap_idx = state.mocap_idx + 1
+        ref_idx, _ = self._clip_index(clip_id, mocap_idx)
         if self.control_mode == "pd_residual":
             action = self.clip_qpos[clip_id, ref_idx][7:] + action
         qpos, qvel = engine.step_pd(
@@ -150,7 +164,7 @@ class DPEnvV3Multi:
         if self.max_episode_steps:
             done = done | (state.step_count + 1 >= self.max_episode_steps)
 
-        idx, cycles = self._clip_index(clip_id, state.mocap_idx)
+        idx, cycles = self._clip_index(clip_id, mocap_idx)
         offset = cycles * self.cycle_offset[clip_id]
         ref_qp = self.clip_qpos[clip_id, idx]
         ref_qv = self.clip_qvel[clip_id, idx]
@@ -169,10 +183,9 @@ class DPEnvV3Multi:
                 ee_pos=ee, ref_ee_pos=self.clip_ee[clip_id, idx] + offset,
                 com=com, ref_com=self.clip_com[clip_id, idx] + offset,
             )
-        mocap_idx = state.mocap_idx + 1
         # non-looping clips: episode ends when the motion is over
         done = done | (~self.clip_wraps[clip_id]
-                       & (mocap_idx >= self.clip_lens[clip_id]))
+                       & (mocap_idx >= self.clip_lens[clip_id] - 1))
 
         return EnvState(
             qpos=qpos, qvel=qvel,

@@ -98,14 +98,7 @@ def com_error(com: jnp.ndarray, ref_com: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(com - ref_com, axis=-1)
 
 
-def _yaw_quat_inv(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion rotating by −yaw(q) about z — DeepMimic's
-    ``BuildOriginTrans`` heading normalization (Z-up here vs its Y-up)."""
-    siny = 2.0 * (q[..., 0] * q[..., 3] + q[..., 1] * q[..., 2])
-    cosy = 1.0 - 2.0 * (q[..., 2] ** 2 + q[..., 3] ** 2)
-    half = -0.5 * jnp.arctan2(siny, cosy)
-    zero = jnp.zeros_like(half)
-    return jnp.stack([jnp.cos(half), zero, zero, jnp.sin(half)], axis=-1)
+_yaw_quat_inv = quat.heading_inverse
 
 
 _W_ROOT = 1.0  # JOINT_WEIGHT["root"]

@@ -40,10 +40,22 @@ class MlpPolicy(NamedTuple):
     hid_size: int = 100
     num_hid_layers: int = 2
     fixed_logstd: float | None = None
+    # hidden_sizes overrides hid_size×num_hid_layers when set, e.g.
+    # (1024, 512) = the original DeepMimic fc_2layers_1024units net
+    # (/root/reference/src/dp_policy_testing/learning/nets/
+    # fc_2layers_1024units.py); activation 'tanh' (reference MlpPolicy) or
+    # 'relu' (original DeepMimic nets)
+    hidden_sizes: tuple | None = None
+    activation: str = "tanh"
+
+    @property
+    def _act_fn(self):
+        return {"tanh": jnp.tanh, "relu": jax.nn.relu}[self.activation]
 
     def init(self, key):
         k_pol, k_vf = jax.random.split(key)
-        hidden = [self.hid_size] * self.num_hid_layers
+        hidden = (list(self.hidden_sizes) if self.hidden_sizes
+                  else [self.hid_size] * self.num_hid_layers)
         logstd0 = 0.0 if self.fixed_logstd is None else float(self.fixed_logstd)
         return {
             "pol": init_mlp(k_pol, [self.ob_dim] + hidden + [self.ac_dim],
@@ -59,13 +71,13 @@ class MlpPolicy(NamedTuple):
 
     def mean_logstd(self, params, ob):
         obz = self._norm_obs(params, ob)
-        mean = apply_mlp(params["pol"], obz)
+        mean = apply_mlp(params["pol"], obz, activation=self._act_fn)
         logstd = jnp.broadcast_to(params["logstd"], mean.shape)
         return mean, logstd
 
     def value(self, params, ob):
         obz = self._norm_obs(params, ob)
-        return apply_mlp(params["vf"], obz)[..., 0]
+        return apply_mlp(params["vf"], obz, activation=self._act_fn)[..., 0]
 
     def act(self, params, key, ob, stochastic=True):
         """(action, vpred) — reference ``MlpPolicy.act``

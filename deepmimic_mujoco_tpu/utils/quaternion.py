@@ -116,6 +116,19 @@ def from_mat(m: jax.Array) -> jax.Array:
     return normalize(q)
 
 
+def heading_inverse(q: jax.Array) -> jax.Array:
+    """Quaternion rotating by −yaw(q) about z — DeepMimic's
+    ``BuildOriginTrans`` heading normalization (Z-up here vs its Y-up;
+    original spec kept at /root/reference/src/env/deepmimic_env_mujoco.py:
+    17-143).  Composing ``mul(heading_inverse(q), q)`` yields the root
+    orientation with its heading removed."""
+    siny = 2.0 * (q[..., 0] * q[..., 3] + q[..., 1] * q[..., 2])
+    cosy = 1.0 - 2.0 * (q[..., 2] ** 2 + q[..., 3] ** 2)
+    half = -0.5 * jnp.arctan2(siny, cosy)
+    zero = jnp.zeros_like(half)
+    return jnp.stack([jnp.cos(half), zero, zero, jnp.sin(half)], axis=-1)
+
+
 def from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
     """Unit axis (..., 3) + angle (...) → quaternion (..., 4)."""
     half = 0.5 * angle

@@ -176,11 +176,38 @@ class TestPDControlAndImitation:
 
         env = DPEnvV3(clip="walk", reward_mode="imitation",
                       control_mode="pd", n_substeps=2)
-        assert env.observation_size == 57
+        # imitation defaults to the root-aware 'full' obs: phase (1) +
+        # root_obs (11) + qpos[7:]/qvel[6:] (56)
+        assert env.observation_size == 68
         s = env.reset_at(jax.random.PRNGKey(0), 5)
-        assert s.obs.shape == (57,)
+        assert s.obs.shape == (68,)
         np.testing.assert_allclose(float(s.obs[0]), 5 / env.clip_len,
                                    rtol=1e-6)
+        # legacy mode preserves the reference's 56-D quirk obs
+        env_legacy = DPEnvV3(clip="walk", reward_mode="imitation",
+                             control_mode="pd", n_substeps=2,
+                             obs_mode="legacy")
+        assert env_legacy.observation_size == 57
+
+    def test_full_obs_heading_invariant(self):
+        """The root features of the 'full' obs must be invariant to yaw and
+        to x-y translation (heading normalization)."""
+        from deepmimic_mujoco_tpu.envs.dp_env_v3 import root_obs
+        from deepmimic_mujoco_tpu.utils import quaternion as quat
+
+        key = jax.random.PRNGKey(3)
+        qpos = jax.random.normal(key, (35,))
+        qpos = qpos.at[3:7].set(quat.normalize(qpos[3:7]))
+        qvel = jax.random.normal(jax.random.PRNGKey(4), (34,))
+        base = root_obs(qpos, qvel)
+
+        yaw = jnp.asarray([jnp.cos(0.6), 0.0, 0.0, jnp.sin(0.6)])
+        qpos2 = qpos.at[3:7].set(quat.mul(yaw, qpos[3:7]))
+        qpos2 = qpos2.at[0:2].add(jnp.asarray([3.0, -2.0]))
+        qvel2 = qvel.at[0:3].set(quat.rotate(yaw, qvel[0:3]))
+        rotated = root_obs(qpos2, qvel2)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(rotated),
+                                   atol=1e-5)
 
     def test_pd_tracks_mocap_joints(self):
         """PD target = current clip frame → mean joint error stays small
@@ -294,7 +321,7 @@ class TestMultiClip:
         return DPEnvV3Multi(clips=("walk", "run", "punch"))
 
     def test_obs_layout(self, env):
-        assert env.observation_size == 3 + 1 + 28 + 28
+        assert env.observation_size == 3 + 1 + 11 + 28 + 28
         s = env.reset_at(jax.random.PRNGKey(0), 1, 4)
         onehot = np.asarray(s.obs[:3])
         np.testing.assert_allclose(onehot, [0, 1, 0])
