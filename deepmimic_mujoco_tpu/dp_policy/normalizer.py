@@ -46,11 +46,20 @@ def make(size: int, groups_ids=None, eps: float = 0.02, clip: float = jnp.inf):
     active = jnp.asarray(groups_ids != Groups.NONE)
 
     def update(state: NormalizerState, batch: jnp.ndarray,
-               axis_name: Optional[str] = None) -> NormalizerState:
+               axis_name: Optional[str] = None,
+               weights: Optional[jnp.ndarray] = None) -> NormalizerState:
+        """``weights`` (0/1 per row) lets callers exclude padding rows from
+        the statistics without dynamic shapes."""
         batch = batch.reshape(-1, state.mean.shape[0])
-        n = jnp.asarray(batch.shape[0], jnp.float32)
-        s = jnp.sum(batch, axis=0)
-        sq = jnp.sum(jnp.square(batch), axis=0)
+        if weights is None:
+            n = jnp.asarray(batch.shape[0], jnp.float32)
+            s = jnp.sum(batch, axis=0)
+            sq = jnp.sum(jnp.square(batch), axis=0)
+        else:
+            w = weights.reshape(-1, 1).astype(batch.dtype)
+            n = jnp.sum(w)
+            s = jnp.sum(batch * w, axis=0)
+            sq = jnp.sum(jnp.square(batch) * w, axis=0)
         if axis_name is not None:
             n = jax.lax.psum(n, axis_name)
             s = jax.lax.psum(s, axis_name)

@@ -79,11 +79,18 @@ DEFAULT_SPEC = {
 
 
 class PPOAgent:
+    # flag bit marking exploring actions — only these train the actor
+    # (pg_agent.py:194-208 sets _exp_action; ppo_agent.py:183 filters)
+    EXP_ACTION_FLAG = 1
+
     def __init__(self, state_size: int, action_size: int,
                  spec: Optional[dict] = None,
                  action_bounds: Optional[tuple] = None,
                  reward_bounds: tuple = (0.0, 1.0),
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None,
+                 state_norm_groups: Optional[np.ndarray] = None,
+                 state_offset: Optional[np.ndarray] = None,
+                 state_scale: Optional[np.ndarray] = None):
         self.spec = {**DEFAULT_SPEC, **(spec or {})}
         s = self.spec
         self.state_size = state_size
@@ -114,9 +121,36 @@ class PPOAgent:
         self.a_bound_min = jnp.asarray(action_bounds[0], jnp.float32)
         self.a_bound_max = jnp.asarray(action_bounds[1], jnp.float32)
 
-        self.s_norm = normalizer.make(state_size)
+        # normalizer bootstrap from the env builders (rl_agent.py:222-234:
+        # s_norm.set_mean_std(-offset, 1/scale) with env norm groups)
+        self.s_norm = normalizer.make(state_size, groups_ids=state_norm_groups)
+        self._s_init_mean = (None if state_offset is None
+                             else -np.asarray(state_offset, np.float32))
+        self._s_init_std = (None if state_scale is None
+                            else 1.0 / np.asarray(state_scale, np.float32))
         self.a_norm = normalizer.make(action_size)
         self.val_norm = normalizer.make(1)
+
+    @classmethod
+    def for_env(cls, env, spec: Optional[dict] = None, **kwargs) -> "PPOAgent":
+        """Build an agent bootstrapped from the env's DeepMimic-API builders
+        (the original agent construction path, rl_agent.py:207-234)."""
+        bounds = None
+        if hasattr(env, "build_action_bound_min"):
+            bounds = (np.asarray(env.build_action_bound_min()),
+                      np.asarray(env.build_action_bound_max()))
+        return cls(
+            state_size=env.observation_size, action_size=env.action_size,
+            spec=spec, action_bounds=bounds,
+            state_norm_groups=(np.asarray(env.build_state_norm_groups(),
+                                          np.int32)
+                               if hasattr(env, "build_state_norm_groups")
+                               else None),
+            state_offset=(env.build_state_offset()
+                          if hasattr(env, "build_state_offset") else None),
+            state_scale=(env.build_state_scale()
+                         if hasattr(env, "build_state_scale") else None),
+            **kwargs)
 
     # ------------------------------------------------------------------
     def init(self, key) -> dict:
@@ -133,7 +167,9 @@ class PPOAgent:
         return {
             "actor": actor,
             "critic": critic,
-            "s_norm": normalizer.init(self.state_size),
+            "s_norm": normalizer.init(self.state_size,
+                                      init_mean=self._s_init_mean,
+                                      init_std=self._s_init_std),
             "a_norm": normalizer.init(
                 self.action_size, init_mean=a_mid, init_std=a_span),
             "val_norm": normalizer.init(1),
@@ -318,6 +354,144 @@ class PPOAgent:
                   "sample_count": params["sample_count"] + n}
         metrics = {"critic_loss": closs, "actor_loss": aloss,
                    "clip_frac": cfrac, "actor_stepsize": stepsize}
+        return params, metrics
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 11))
+    def train_on_batch(self, params, key, states, actions, logps, rewards,
+                       is_end, is_fail, is_succ, is_exp, n_mb: int,
+                       valid=None):
+        """The original ``_train_step`` (ppo_agent.py:165-262) over a whole
+        replay-buffer batch in record layout: each path is n+1 consecutive
+        records, the last being the bootstrap/terminal state (is_end).
+
+        * critic values at FAIL ends are ``val_fail`` (= r_min/(1−γ)), SUCC
+          ends ``val_succ`` (_compute_batch_vals, ppo_agent.py:275-289)
+        * TD(λ) targets per path via a masked backward scan
+          (_compute_batch_new_vals)
+        * advantages only at exploration-flagged records; standardized,
+          clipped to ±NormAdvClip (ppo_agent.py:183-196)
+        * per epoch, ``n_mb`` minibatches: critic batches drawn from
+          non-end records, actor batches from exp records
+          (ppo_agent.py:202-243)
+        * arrays may be padded: ``valid`` masks live records (padding must
+          carry is_end=True so the scan resets there)
+        """
+        f32 = jnp.float32
+        if valid is None:
+            valid = jnp.ones(rewards.shape[0], bool)
+        is_end = is_end | ~valid
+        gamma, lam = self.discount, self.td_lambda
+
+        vals = self.eval_critic(params, states)
+        vals = jnp.where(is_fail, self.val_min, vals)
+        vals = jnp.where(is_succ, self.val_max, vals)
+
+        vnext = jnp.concatenate([vals[1:], vals[-1:]])
+
+        def body(carry, xs):
+            v, v_n, r, end = xs
+            ret = jnp.where(end, v, r + gamma * ((1 - lam) * v_n + lam * carry))
+            return ret, ret
+
+        _, new_vals = jax.lax.scan(
+            body, jnp.zeros((), f32), (vals, vnext, rewards, is_end),
+            reverse=True)
+
+        exp_w = (is_exp & ~is_end & valid).astype(f32)
+        n_exp = jnp.maximum(jnp.sum(exp_w), 1.0)
+        adv = new_vals - vals
+        adv_mean = jnp.sum(adv * exp_w) / n_exp
+        adv_std = jnp.sqrt(jnp.sum(exp_w * jnp.square(adv - adv_mean)) / n_exp)
+        adv = jnp.clip((adv - adv_mean) / (adv_std + 1e-5),
+                       -self.norm_adv_clip, self.norm_adv_clip)
+        new_vals = jnp.clip(new_vals, self.val_min, self.val_max)
+
+        valid_w = ((~is_end) & valid).astype(f32)
+        p_critic = valid_w / jnp.maximum(jnp.sum(valid_w), 1.0)
+        p_actor = exp_w / n_exp
+        N = rewards.shape[0]
+
+        def epoch(carry, k_ep):
+            params, closs, aloss, cfrac = carry
+            mb_keys = jax.random.split(k_ep, n_mb)
+
+            def mb_step(carry, k_mb):
+                params, closs, aloss, cfrac = carry
+                k_c, k_a = jax.random.split(k_mb)
+                c_idx = jax.random.choice(
+                    k_c, N, (self.mini_batch_size,), p=p_critic)
+                a_idx = jax.random.choice(
+                    k_a, N, (self.mini_batch_size,), p=p_actor)
+
+                def critic_loss_fn(critic):
+                    p = {**params, "critic": critic}
+                    cl, _, _ = self.losses(
+                        p, states[c_idx], actions[c_idx], logps[c_idx],
+                        adv[c_idx], new_vals[c_idx])
+                    return cl
+
+                cl, cg = jax.value_and_grad(critic_loss_fn)(params["critic"])
+                cg = maybe_pmean(cg, self.axis_name)
+                critic, copt = momentum_update(
+                    params["critic_opt"], cg, params["critic"],
+                    float(self.spec["CriticStepsize"]),
+                    float(self.spec["CriticMomentum"]))
+
+                def actor_loss_fn(actor):
+                    p = {**params, "actor": actor}
+                    _, al, cf = self.losses(
+                        p, states[a_idx], actions[a_idx], logps[a_idx],
+                        adv[a_idx], new_vals[a_idx])
+                    return al, cf
+
+                (al, cf), ag = jax.value_and_grad(
+                    actor_loss_fn, has_aux=True)(params["actor"])
+                ag = maybe_pmean(ag, self.axis_name)
+                actor, aopt = momentum_update(
+                    params["actor_opt"], ag, params["actor"],
+                    params["actor_stepsize"],
+                    float(self.spec["ActorMomentum"]))
+                params = {**params, "critic": critic, "critic_opt": copt,
+                          "actor": actor, "actor_opt": aopt}
+                return (params, closs + cl, aloss + jnp.abs(al),
+                        cfrac + cf), None
+
+            (params, closs, aloss, cfrac), _ = jax.lax.scan(
+                mb_step, (params, closs, aloss, cfrac), mb_keys)
+            return (params, closs, aloss, cfrac), None
+
+        keys = jax.random.split(key, self.epochs)
+        zero = jnp.zeros((), f32)
+        (params, closs, aloss, cfrac), _ = jax.lax.scan(
+            epoch, (params, zero, zero, zero), keys)
+        total = self.epochs * n_mb
+        closs, aloss, cfrac = closs / total, aloss / total, cfrac / total
+        closs = maybe_pmean(closs, self.axis_name)
+        aloss = maybe_pmean(aloss, self.axis_name)
+        cfrac = maybe_pmean(cfrac, self.axis_name)
+
+        stepsize = params["actor_stepsize"]
+        if self.tar_clip_frac >= 0:
+            over = cfrac > self.tar_clip_frac * 1.5
+            under = cfrac < self.tar_clip_frac / 1.5
+            stepsize = jnp.where(over, stepsize * self.stepsize_decay, stepsize)
+            stepsize = jnp.where(under, stepsize / self.stepsize_decay, stepsize)
+            stepsize = jnp.clip(stepsize, 1e-8, 1e-2)
+
+        row_w = valid.astype(f32)
+        s_norm = self.s_norm.update(params["s_norm"], states, self.axis_name,
+                                    weights=row_w)
+        val_norm = self.val_norm.update(
+            params["val_norm"], new_vals[..., None], self.axis_name,
+            weights=valid_w)
+        n_samples = jnp.sum(valid_w)
+        params = {**params, "actor_stepsize": stepsize, "s_norm": s_norm,
+                  "val_norm": val_norm,
+                  "sample_count": params["sample_count"] + n_samples}
+        metrics = {"critic_loss": closs, "actor_loss": aloss,
+                   "clip_frac": cfrac, "actor_stepsize": stepsize,
+                   "adv_mean": adv_mean, "adv_std": adv_std}
         return params, metrics
 
     # ------------------------------------------------------------------

@@ -2,28 +2,43 @@
 (reference: /root/reference/src/dp_policy_testing/learning/rl_agent.py)
 wired to our functional envs.
 
-Faithful pieces:
+Faithful pieces (the original training semantics, which the reference ships
+but cannot drive without the C++ DeepMimicCore):
 * TRAIN/TEST mode switching (rl_agent.py:370-412)
-* updates fire on a sample-count period = BatchSize (rl_agent.py:123-136)
-* exploration rate coin-flip per episode-ish decision (ppo_agent.py:147-150)
-* distributed episode accounting via psum-style reduction hooks
-  (rl_agent.py:521-584) — here the vectorized env IS the worker pool.
+* per-action ε-greedy exploration coin flip at the annealed rate; exploring
+  actions carry EXP_ACTION_FLAG (pg_agent.py:193-209)
+* paths accumulate into the replay buffer as they END, n+1 records each
+  (rl_agent._update_new_action/_end_path/_store_path, rl_agent.py:332-356)
+* training fires when the buffer holds > BatchSize samples and at least one
+  exploration sample (_valid_train_step, ppo_agent.py:266-271) — the
+  original checks this every ``UpdatePeriod`` seconds of sim time
+  (rl_agent.py:123-136); here the check runs every rollout chunk (the chunk
+  length is the sim-time quantum)
+* the train step consumes the WHOLE buffer then clears it
+  (ppo_agent._train_step, ppo_agent.py:165-262) — the 500k ring is
+  headroom, PPO is on-policy
+* exploration-parameter annealing by total sample count
+  (rl_agent.py:358-362)
+* distributed episode accounting: the vectorized env batch is the worker
+  pool; batched test episodes replace the MPI-reduced counts
+  (rl_agent.py:521-584)
 
-The rollout runs as a jitted scan over the vectorized env; collected
-segments feed ``PPOAgent.update``.  Terminated paths are treated as FAIL
-(value 0 at the boundary), matching the standup task's terminations.
+The rollout runs as a jitted scan over the vectorized env; path assembly and
+the ring buffer live on the host (as in the original), training is one
+jitted ``PPOAgent.train_on_batch``.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepmimic_mujoco_tpu.dp_policy.path import Path, Terminate
 from deepmimic_mujoco_tpu.dp_policy.ppo_agent import PPOAgent
+from deepmimic_mujoco_tpu.dp_policy.replay_buffer import ReplayBuffer
 
 
 class Mode:
@@ -34,33 +49,61 @@ class Mode:
 
 class RLAgentDriver:
     def __init__(self, env, agent: PPOAgent, num_envs: int = 32,
-                 seed: int = 0):
+                 seed: int = 0, chunk: int = 32):
         self.env = env
         self.agent = agent
         self.num_envs = num_envs
+        self.chunk = chunk
         self.mode = Mode.TRAIN
         self._key = jax.random.PRNGKey(seed)
-        self.steps_per_rollout = max(1, agent.batch_size // num_envs)
+        self.replay_buffer = ReplayBuffer(
+            int(agent.spec.get("ReplayBufferSize", 500000)))
+        self._pending = [Path() for _ in range(num_envs)]
+        self._path_returns: list[float] = []
+        self.iter = 0
+        # pad cap for the jitted train step (records > BatchSize by at most
+        # one chunk of steps plus one end record per closing path)
+        cap = (agent.batch_size + num_envs * chunk + num_envs + chunk + 64)
+        self._train_cap = int(-(-cap // 256) * 256)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4))
-    def _rollout(self, params, env_state, key, explore: bool):
+    @partial(jax.jit, static_argnums=0)
+    def _rollout(self, params, env_state, key):
+        """One chunk of vectorized acting: per-env, per-step ε-greedy coin
+        flips (pg_agent._decide_action) with auto-reset on done.  Outputs
+        pre-reset next observations so path ends keep their terminal
+        state."""
         B = self.num_envs
+        cap = getattr(self.env, "max_episode_steps", 0)
+        wraps = getattr(self.env, "clip_wraps", True)
+        clip_len = getattr(self.env, "clip_len", 0)
 
         def step_fn(carry, _):
             env_state, key = carry
             key, k_act, k_coin = jax.random.split(key, 3)
             ob = env_state.obs
             rate, _ = self.agent.exp_params_at(params["sample_count"])
-            exploring = jnp.asarray(explore) & (
-                jax.random.uniform(k_coin) < rate)
+            exploring = jax.random.uniform(k_coin, (B,)) < rate
             ks = jax.random.split(k_act, B)
             a, logp = jax.vmap(
-                lambda k, o: self.agent.decide_action(params, k, o, exploring)
-            )(ks, ob)
+                lambda k, o, e: self.agent.decide_action(params, k, o, e)
+            )(ks, ob, exploring)
             nxt = jax.vmap(self.env.step)(env_state, a)
             done = nxt.done
-            # auto-reset
+
+            cap_done = (jnp.zeros(B, bool) if not cap
+                        else nxt.step_count >= cap)
+            succ_done = (jnp.zeros(B, bool) if wraps or not clip_len
+                        else nxt.mocap_idx >= clip_len - 1)
+            term = jnp.where(
+                done,
+                jnp.where(succ_done, Terminate.SUCC,
+                          jnp.where(cap_done, Terminate.NULL,
+                                    Terminate.FAIL)),
+                Terminate.NULL).astype(jnp.int8)
+
+            # auto-reset finished envs: noise reset where the env has one
+            # (DPEnvV3 standup), RSI otherwise (DeepMimic surface)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(nxt.key)
             reset_fn = getattr(self.env, "reset_init", self.env.reset)
             fresh = jax.vmap(reset_fn)(k_resets)
@@ -70,39 +113,96 @@ class RLAgentDriver:
                 return jnp.where(m, new, old)
 
             env_state2 = jax.tree.map(pick, fresh, nxt)
-            return (env_state2, key), (ob, a, logp, nxt.reward, done)
+            out = (ob, a, logp, nxt.reward, done, exploring, term, nxt.obs)
+            return (env_state2, key), out
 
         (env_state, key), traj = jax.lax.scan(
-            step_fn, (env_state, key), None, length=self.steps_per_rollout)
-        return env_state, key, traj
+            step_fn, (env_state, key), None, length=self.chunk)
+        return env_state, traj
 
-    def _flatten_paths(self, traj, last_obs):
-        """(T, B, ...) → env-major flat arrays with path_end flags and one
-        bootstrap state row appended."""
-        obs, acs, logps, rews, dones = traj
+    # ------------------------------------------------------------------
+    def _absorb_chunk(self, traj):
+        """Append a rolled chunk to the per-env pending paths; store
+        completed paths into the ring (rl_agent._update_new_action /
+        _end_path / _store_path)."""
+        obs, acs, logps, rews, dones, exps, terms, obs_next = (
+            np.asarray(t) for t in traj)
         T, B = rews.shape
-        # env-major: (B, T, ...)
-        obs_e = jnp.swapaxes(obs, 0, 1).reshape(B * T, -1)
-        acs_e = jnp.swapaxes(acs, 0, 1).reshape(B * T, -1)
-        logps_e = jnp.swapaxes(logps, 0, 1).reshape(B * T)
-        rews_e = jnp.swapaxes(rews, 0, 1).reshape(B * T)
-        ends = jnp.swapaxes(dones, 0, 1)
-        ends = ends.at[:, -1].set(True)  # segment boundary ends each env's path
-        ends_e = ends.reshape(B * T)
-        states = jnp.concatenate([obs_e, last_obs[:1]], axis=0)
-        return states, acs_e, logps_e, rews_e, ends_e
+        flag = PPOAgent.EXP_ACTION_FLAG
+        for t in range(T):
+            for b in np.arange(B):
+                p = self._pending[b]
+                p.states.append(obs[t, b])
+                p.actions.append(acs[t, b])
+                p.logps.append(float(logps[t, b]))
+                p.rewards.append(float(rews[t, b]))
+                p.flags.append(flag if exps[t, b] else 0)
+                if dones[t, b]:
+                    p.states.append(obs_next[t, b])   # terminal record
+                    p.terminate = int(terms[t, b])
+                    self._path_returns.append(p.calc_return())
+                    self.replay_buffer.store(p)
+                    self._pending[b] = Path()
+
+    def _valid_train_step(self) -> bool:
+        """ppo_agent._valid_train_step (ppo_agent.py:266-271)."""
+        return (self.replay_buffer.get_current_size() > self.agent.batch_size
+                and self.replay_buffer.count_filtered(
+                    PPOAgent.EXP_ACTION_FLAG) > 0)
+
+    def _train(self, params):
+        """ppo_agent._train_step over the whole buffer, then clear."""
+        buf = self.replay_buffer
+        n = buf.get_current_size()
+        cap = self._train_cap
+        while n > cap:   # safety: never truncate silently
+            cap += 256
+        self._train_cap = cap
+
+        def pad(a, fill=0.0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        states = pad(buf.get_all("states"))
+        actions = pad(buf.get_all("actions"))
+        logps = pad(buf.get_all("logps"))
+        rewards = pad(buf.get_all("rewards"))
+        is_end = pad(buf.end_mask(), True)
+        is_fail = pad(buf.fail_mask(), False)
+        is_succ = pad(buf.succ_mask(), False)
+        is_exp = pad(buf.flag_mask(PPOAgent.EXP_ACTION_FLAG), False)
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+
+        n_valid = int(np.sum(~buf.end_mask()))
+        n_mb = max(1, int(np.ceil(n_valid / self.agent.mini_batch_size)))
+
+        self._key, k = jax.random.split(self._key)
+        params, metrics = self.agent.train_on_batch(
+            params, k,
+            jnp.asarray(states), jnp.asarray(actions), jnp.asarray(logps),
+            jnp.asarray(rewards), jnp.asarray(is_end), jnp.asarray(is_fail),
+            jnp.asarray(is_succ), jnp.asarray(is_exp), n_mb,
+            valid=jnp.asarray(valid))
+        buf.clear()
+        self.iter += 1
+        return params, metrics
 
     # ------------------------------------------------------------------
     def train_iteration(self, params, env_state):
-        self._key, k1, k2 = jax.random.split(self._key, 3)
-        env_state, _, traj = self._rollout(params, env_state, k1, True)
-        states, acs, logps, rews, ends = self._flatten_paths(
-            traj, env_state.obs)
-        params, metrics = self.agent.update(
-            params, k2, states, acs, logps, rews, ends)
-        ep_rew = float(jnp.sum(rews)) / max(1.0, float(jnp.sum(ends)))
+        """Roll chunks until one train update fires (the original's
+        ``update(timestep)`` loop, rl_agent.py:123-136), then train on the
+        buffer and clear it."""
+        while not self._valid_train_step():
+            self._key, k = jax.random.split(self._key)
+            env_state, traj = self._rollout(params, env_state, k)
+            self._absorb_chunk(traj)
+        params, metrics = self._train(params)
         metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["avg_path_reward"] = ep_rew
+        if self._path_returns:
+            metrics["avg_path_reward"] = float(np.mean(self._path_returns))
+            self._path_returns.clear()
         return params, env_state, metrics
 
     def test_episodes(self, params, n_episodes: int = 32,

@@ -51,31 +51,46 @@ class TestNormalizer:
 
 
 class TestReplayBuffer:
-    def _path(self, n, term=Terminate.FAIL):
+    def _path(self, n, term=Terminate.FAIL, exp_every=2):
         p = Path()
         p.states = [np.full(3, i, np.float32) for i in range(n + 1)]
         p.actions = [np.full(2, i, np.float32) for i in range(n)]
         p.rewards = [float(i) for i in range(n)]
         p.logps = [0.0] * n
+        p.flags = [1 if i % exp_every == 0 else 0 for i in range(n)]
         p.terminate = term
         return p
 
     def test_store_and_sample(self):
+        """A path of n steps occupies n+1 records, the last being the
+        terminal/bootstrap state (reference replay_buffer.py:34-70)."""
         buf = ReplayBuffer(100)
         pid = buf.store(self._path(10))
         assert pid == 0
-        assert buf.get_current_size() == 10
+        assert buf.get_current_size() == 11
+        assert buf.total_count == 10        # sample count excludes the end
         idx = buf.sample(5, rng=np.random.RandomState(0))
         assert len(idx) == 5
         # filtered samples must not be path ends
         assert not buf.is_path_end(idx).any()
 
-    def test_terminal_flags(self):
+    def test_terminal_flags_on_end_record(self):
         buf = ReplayBuffer(100)
         buf.store(self._path(5, Terminate.FAIL))
-        end_idx = np.array([4])
+        end_idx = np.array([5])             # record 5 = terminal state
+        assert buf.is_path_end(end_idx).all()
         assert buf.check_terminal_flag(end_idx, Terminate.FAIL).all()
         assert not buf.check_terminal_flag(end_idx, Terminate.SUCC).any()
+        # the stored terminal state is the post-step observation
+        np.testing.assert_array_equal(buf.get("states", end_idx)[0],
+                                      np.full(3, 5, np.float32))
+
+    def test_exp_flag_filtering(self):
+        buf = ReplayBuffer(100)
+        buf.store(self._path(6, exp_every=2))
+        idx = buf.get_idx_filtered(1)
+        np.testing.assert_array_equal(idx, [0, 2, 4])
+        assert buf.count_filtered(1) == 3
 
     def test_ring_wraparound(self):
         buf = ReplayBuffer(12)
@@ -83,6 +98,13 @@ class TestReplayBuffer:
         buf.store(self._path(10))
         assert buf.get_current_size() == 12
         assert buf.num_paths == 2
+
+    def test_clear_keeps_lifetime_count(self):
+        buf = ReplayBuffer(100)
+        buf.store(self._path(10))
+        buf.clear()
+        assert buf.get_current_size() == 0
+        assert buf.total_count == 10
 
 
 class TestExpParams:
@@ -139,6 +161,168 @@ class TestPPOAgent:
         agent = PPOAgent(4, 2, reward_bounds=(0.0, 1.0))
         assert agent.val_min == 0.0
         assert agent.val_max == pytest.approx(1.0 / (1.0 - 0.95))
+
+
+class _ToyEnv:
+    """Minimal functional env for driver tests: 1-D integrator, episode ends
+    after a fixed number of steps."""
+
+    observation_size = 4
+    action_size = 2
+    max_episode_steps = 7
+    clip_wraps = True
+    clip_len = 0
+
+    def __init__(self, horizon=7):
+        self.max_episode_steps = horizon
+
+    def reset(self, key):
+        from deepmimic_mujoco_tpu.envs.types import EnvState
+
+        z = jnp.zeros(())
+        return EnvState(
+            qpos=jnp.zeros(2), qvel=jnp.zeros(2), obs=jnp.zeros(4),
+            reward=jnp.zeros(()), done=jnp.zeros((), bool),
+            mocap_idx=jnp.zeros((), jnp.int32),
+            init_idx=jnp.zeros((), jnp.int32),
+            step_count=jnp.zeros((), jnp.int32), key=key)
+
+    def step(self, state, action):
+        import dataclasses
+
+        qpos = state.qpos + 0.1 * action
+        count = state.step_count + 1
+        return dataclasses.replace(
+            state, qpos=qpos,
+            obs=jnp.concatenate([qpos, 0.1 * jnp.ones(2)]),
+            reward=jnp.ones(()), done=count >= self.max_episode_steps,
+            step_count=count)
+
+
+class TestRLAgentDriverCadence:
+    """The replay-buffer-driven update cadence
+    (reference rl_agent.py:123-136 + ppo_agent.py:165-271): paths accumulate
+    as n+1-record entries; the update fires once the buffer holds more than
+    BatchSize samples and at least one exploration sample; training consumes
+    the whole buffer and clears it."""
+
+    def _driver(self, batch_size=64, num_envs=4, horizon=7):
+        from deepmimic_mujoco_tpu.dp_policy.rl_agent import RLAgentDriver
+
+        env = _ToyEnv(horizon)
+        agent = PPOAgent(env.observation_size, env.action_size,
+                         spec={"BatchSize": batch_size, "MiniBatchSize": 16,
+                               "ReplayBufferSize": 4096})
+        return env, agent, RLAgentDriver(env, agent, num_envs=num_envs,
+                                         seed=0, chunk=8)
+
+    def test_update_fires_on_batch_size(self):
+        env, agent, driver = self._driver()
+        params = agent.init(jax.random.PRNGKey(0))
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        env_state = jax.vmap(env.reset)(keys)
+        params, env_state, metrics = driver.train_iteration(params, env_state)
+        # the update consumed > BatchSize samples then cleared the ring
+        assert float(params["sample_count"]) > agent.batch_size
+        assert driver.replay_buffer.get_current_size() == 0
+        assert driver.iter == 1
+        assert np.isfinite(metrics["critic_loss"])
+
+    def test_paths_have_terminal_records(self):
+        env, agent, driver = self._driver(batch_size=10**9)  # never train
+        params = agent.init(jax.random.PRNGKey(0))
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        env_state = jax.vmap(env.reset)(keys)
+        driver._key, k = jax.random.split(driver._key)
+        env_state, traj = driver._rollout(params, env_state, k)
+        driver._absorb_chunk(traj)
+        buf = driver.replay_buffer
+        # chunk=8, horizon=7 → each env closed one 7-step path (8 records)
+        assert buf.num_paths == 4
+        assert buf.get_current_size() == 4 * 8
+        ends = np.flatnonzero(buf.end_mask())
+        assert len(ends) == 4
+        # horizon-capped paths terminate NULL, not FAIL
+        assert not buf.fail_mask().any()
+
+    def test_train_on_batch_fail_bootstraps_zero(self):
+        """FAIL terminal records pin the bootstrap value to val_min — the
+        original's vals[is_fail] = val_fail (ppo_agent.py:275-289)."""
+        agent = PPOAgent(3, 2, spec={"MiniBatchSize": 4, "BatchSize": 16,
+                                     "Epochs": 1})
+        params = agent.init(jax.random.PRNGKey(0))
+        n = 8
+        states = jnp.asarray(np.random.RandomState(0).randn(n, 3),
+                             jnp.float32)
+        is_end = jnp.zeros(n, bool).at[n - 1].set(True)
+        is_fail = jnp.zeros(n, bool).at[n - 1].set(True)
+        rewards = jnp.ones(n, jnp.float32)
+        params2, metrics = agent.train_on_batch(
+            params, jax.random.PRNGKey(1), states,
+            jnp.zeros((n, 2)), jnp.zeros(n), rewards,
+            is_end, is_fail, jnp.zeros(n, bool),
+            jnp.zeros(n, bool).at[0].set(True), 2)
+        assert np.isfinite(metrics["critic_loss"])
+        assert float(params2["sample_count"]) == n - 1
+
+
+class TestDeepMimicSurface:
+    """The original 197-D/36-D training surface as a functional env."""
+
+    @pytest.fixture(scope="class")
+    def env(self):
+        from deepmimic_mujoco_tpu.envs import DeepMimicSurfaceEnv
+
+        return DeepMimicSurfaceEnv(clip="walk", max_episode_steps=50)
+
+    def test_state_layout(self, env):
+        s = env.reset_at(jax.random.PRNGKey(0), 3)
+        assert s.obs.shape == (197,)
+        assert np.isfinite(np.asarray(s.obs)).all()
+        assert float(s.obs[0]) == pytest.approx(3 / env.clip_len)
+        # state[1] = root height by default (~0.85 standing)
+        assert 0.5 < float(s.obs[1]) < 1.2
+        # root-relative block: first body is the root → rel pos 0
+        np.testing.assert_allclose(np.asarray(s.obs[2:5]), 0.0, atol=1e-6)
+
+    def test_quirk_lateral(self):
+        from deepmimic_mujoco_tpu.envs import DeepMimicSurfaceEnv
+
+        env = DeepMimicSurfaceEnv(clip="walk", quirk_lateral=True,
+                                  write_phase=False)
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        assert float(s.obs[0]) == 0.0   # phase quirk: never written
+        qpos = np.asarray(s.qpos)
+        assert float(s.obs[1]) == pytest.approx(qpos[1], abs=1e-5)
+
+    def test_step_and_reward(self, env):
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+            targets_to_action,
+        )
+
+        # feed-forward action from the next clip frame → high reward
+        a = targets_to_action(np.asarray(env.clip_qpos[1][7:]))
+        s1 = jax.jit(env.step)(s, jnp.asarray(a))
+        assert 0.3 < float(s1.reward) <= 1.0
+        assert not bool(s1.done)
+
+    def test_fall_contact_terminates(self, env):
+        """Dropping the character on its chest triggers the fall-contact
+        termination (original --fall_contact_bodies)."""
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        # lay the root nearly on the ground, chest down
+        qpos = s.qpos.at[2].set(0.2).at[3:7].set(
+            jnp.asarray([0.7071, 0.0, 0.7071, 0.0]))
+        import dataclasses
+
+        s = dataclasses.replace(s, qpos=qpos)
+        step = jax.jit(env.step)
+        done = False
+        for _ in range(10):
+            s = step(s, jnp.zeros(36))
+            done = done or bool(s.done)
+        assert done
 
 
 class TestRLWorld:
