@@ -59,7 +59,14 @@ _ACTION_SLICES = _dp_action_slices()
 
 class DeepMimicEnv:
     """Single-env, host-friendly facade (the original API is imperative);
-    the underlying stepping is the jitted JAX engine."""
+    the underlying stepping is the jitted JAX engine.
+
+    ``reward_mode``: 'stub' reproduces the reference's TODO placeholder
+    (random reward, mujoco_env.py:184-186); 'imitation' scores the real
+    DeepMimic reward against the mocap cursor (which ``update`` advances
+    with sim time).  ``check_terminate`` reports FAIL on fall contact
+    (original --fall_contact_bodies; the reference's port returns a
+    constant 2, mujoco_env.py:193-194)."""
 
     def __init__(self, clip: str | MocapClip = "walk", model=None,
                  reward_mode: str = "stub", seed: int = 0):
@@ -80,6 +87,38 @@ class DeepMimicEnv:
         self._step_jit = jax.jit(
             lambda qp, qv, c, n: engine.step(self.model, qp, qv, c, n_substeps=n),
             static_argnums=3)
+        # pure-surface twin: reward / termination / phase come from the
+        # same functions the trainable DeepMimicSurfaceEnv uses
+        from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+            DeepMimicSurfaceEnv,
+        )
+
+        self._surface = DeepMimicSurfaceEnv(
+            clip=clip, model=self.model,
+            reward_mode="imitation_dm" if reward_mode != "stub" else "alive")
+        self._sim_time = 0.0
+        self._reward_jit = None
+        if reward_mode != "stub":
+            env = self._surface
+
+            def _reward(qp, qv, idx):
+                kin = kinematics.fk(env.model, qp)
+                i, cycles = env._clip_index(idx)
+                offset = cycles * env.cycle_offset
+                ee = kinematics.geom_world_pos(env.model, kin)[env._ee_geoms]
+                com_vel = kinematics.com_velocity(env.model, kin, qv)
+                from deepmimic_mujoco_tpu.envs import rewards
+
+                return rewards.deepmimic_reward(
+                    qp, qv, env.clip_qpos[i].at[0:3].add(offset),
+                    env.clip_qvel[i],
+                    ee_pos=ee, ref_ee_pos=env.clip_ee[i] + offset,
+                    com_vel=com_vel, ref_com_vel=env.clip_com_vel[i])
+
+            self._reward_jit = jax.jit(_reward)
+        self._fall_jit = jax.jit(
+            lambda qp: self._surface.fall_contact(
+                kinematics.fk(self.model, qp)))
         # body index per BODY_DEFS entry; wrists map to their elbow geoms
         self._bodydef_body = []
         self._bodydef_geom = []
@@ -101,10 +140,12 @@ class DeepMimicEnv:
     def reset(self):
         self.qpos = jnp.asarray(self.model.qpos0)
         self.qvel = jnp.zeros(self.model.nv, jnp.float32)
+        self._sim_time = 0.0
 
     def update(self, timestep: float) -> None:
         n = max(1, int(round(timestep / self.model.dt)))
         self.qpos, self.qvel = self._step_jit(self.qpos, self.qvel, self.ctrl, n)
+        self._sim_time += n * self.model.dt
 
     def shutdown(self):
         pass
@@ -112,8 +153,20 @@ class DeepMimicEnv:
     def is_done(self):
         return False
 
+    @property
+    def mocap_idx(self) -> int:
+        """Mocap cursor from accumulated sim time (the original core indexes
+        its motion by time; mocap_v2.play, mocap_v2.py:151-182)."""
+        # round: the sim dt (0.0166) does not divide the clip dt (0.0333)
+        # exactly in float
+        return int(round(self._sim_time / self.mocap.dt))
+
     def get_num_update_substeps(self):
-        return 32
+        """Sim substeps per 30 Hz control decision — from the controller
+        spec's UpdateRate (assets/controllers/humanoid3d_ctrl.txt,
+        "UpdateRate": 30) and the sim dt, rather than the reference's
+        hardcoded 32 (mujoco_env.py:84-85)."""
+        return max(1, int(round((1.0 / 30.0) / self.model.dt)))
 
     # --- rl interface ---
     def is_rl_scene(self):
@@ -142,7 +195,9 @@ class DeepMimicEnv:
 
         root = pos[0]
         state = np.full(self.state_size, np.nan)
-        state[0] = 0.0                      # phase (reference leaves 0)
+        # phase from the sim-time mocap cursor (the reference port leaves it
+        # 0, mujoco_env.py:105-107; the original C++ core writes it)
+        state[0] = (self.mocap_idx % len(self.mocap)) / len(self.mocap)
         state[1] = root[1]                  # lateral coord (reference quirk)
         idx = 2
         for i in range(len(BODY_DEFS)):
@@ -246,18 +301,21 @@ class DeepMimicEnv:
         if self.reward_mode == "stub":
             # the reference leaves this TODO (mujoco_env.py:184-186)
             return float(self._rng.rand() - 0.5)
-        from deepmimic_mujoco_tpu.envs import rewards
-
-        # imitation reward vs frame 0 pose as a placeholder target
-        ref = jnp.asarray(self.mocap.qpos[0], jnp.float32)
-        err = rewards.config_l1_error(self.qpos[7:], ref[7:])
-        return float(jnp.exp(-err))
+        # the real DeepMimic imitation reward against the sim-time mocap
+        # cursor (same kernel as DeepMimicSurfaceEnv.step)
+        return float(self._reward_jit(
+            self.qpos, self.qvel, jnp.asarray(self.mocap_idx, jnp.int32)))
 
     def is_episode_end(self):
         return False
 
     def check_terminate(self, agent_id: int = 0):
-        return 2
+        """Terminate.FAIL (1) when a non-allowed body touches the floor —
+        the original fall-contact termination (--fall_contact_bodies in
+        every arg file); NULL (0) otherwise.  The reference port returns a
+        constant 2 (mujoco_env.py:193-194); pass ``reward_mode='stub'``
+        AND compare against that quirk only if you need bug-parity."""
+        return 1 if bool(self._fall_jit(self.qpos)) else 0
 
     def check_valid_episode(self):
         return True
