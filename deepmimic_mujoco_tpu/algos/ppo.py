@@ -165,6 +165,12 @@ class PPO:
         vpredbefore = seg["vpred"].reshape(-1)
 
         params = self.policy.update_ob_rms(params, ob, self.axis_name)
+        # recompute the old-policy neglogp under the UPDATED obs-rms: the
+        # rollout recorded it under the old normalization, and loss_fn
+        # normalizes with the new one — without this, ratio≠1 at unchanged
+        # params and the clip objective treats the rms shift as a policy
+        # change (the TRPO path's params_old snapshot has the same effect)
+        nlp_old = self.policy.neglogp(params, ob, ac)
 
         train_tree = {"pol": params["pol"], "vf": params["vf"],
                       "logstd": params["logstd"]}
@@ -216,11 +222,15 @@ class PPO:
                 (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
                     theta, ob[i], ac[i], adv[i], ret[i], nlp_old[i])
                 g = pmean(g)
+                # mask frozen-logstd coordinates BEFORE the global-norm
+                # clip, so the clip norm doesn't include components that are
+                # then discarded (which would systematically shrink the
+                # effective step; TRPO masks g before CG the same way)
+                if mask is not None:
+                    g = g * mask
                 gnorm = jnp.linalg.norm(g)
                 g = g * jnp.minimum(1.0, cfg.max_grad_norm /
                                     jnp.maximum(gnorm, 1e-8))
-                if mask is not None:
-                    g = g * mask
                 theta, opt = adam.update(opt, g, theta, lr)
                 return (theta, opt), aux
 

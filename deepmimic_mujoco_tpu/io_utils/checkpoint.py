@@ -28,10 +28,26 @@ def save(path: str, tree: Any) -> None:
 
 def load(path: str, like: Any) -> Any:
     """Load a pytree saved by :func:`save`; ``like`` provides the structure
-    (and device placement is left to the caller)."""
+    (and device placement is left to the caller).
+
+    The stored ``__treedef__`` must match ``like``'s structure — a stale
+    checkpoint with the same leaf count would otherwise silently mis-map
+    leaves onto the wrong parameters."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
+        saved_treedef = bytes(z["__treedef__"]).decode()
     treedef = jax.tree.structure(like)
+    if saved_treedef != str(treedef):
+        raise ValueError(
+            f"checkpoint structure mismatch for {path!r}:\n"
+            f"  saved:    {saved_treedef[:200]}...\n"
+            f"  expected: {str(treedef)[:200]}...\n"
+            "The checkpoint was written by a different model/optimizer "
+            "configuration.")
+    if len(leaves) != treedef.num_leaves:
+        raise ValueError(
+            f"checkpoint {path!r} has {len(leaves)} leaves, expected "
+            f"{treedef.num_leaves}")
     return jax.tree.unflatten(treedef, leaves)

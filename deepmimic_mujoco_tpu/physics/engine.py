@@ -68,15 +68,62 @@ def mass_inverse(m: jnp.ndarray, lo_iters: int = _NS_ITERS_LO,
     return x * dinv[..., None, :] * dinv[..., :, None]
 
 
-def _chol_inv_mul(m: jnp.ndarray):
-    """Return x ↦ M⁻¹x (dense explicit inverse; name kept for history)."""
-    minv = mass_inverse(m)
+def _chol_inv_mul(m: jnp.ndarray, mode: str = "ns"):
+    """Return x ↦ M⁻¹x.  ``mode`` 'ns' uses the Newton–Schulz explicit
+    inverse (MXU-friendly, iteration budget tuned for the humanoid's
+    conditioning); 'cholesky' the unconditionally robust XLA solve —
+    selected per model via :func:`calibrate_minv_mode` so an imported MJCF
+    with a stiffer mass matrix cannot silently simulate inaccurate
+    dynamics."""
     hi = jax.lax.Precision.HIGHEST
+    if mode == "cholesky":
+        chol = jax.scipy.linalg.cho_factor(m)
+
+        def m_inv_mul(x):
+            return jax.scipy.linalg.cho_solve(chol, x)
+
+        return m_inv_mul
+    minv = mass_inverse(m)
 
     def m_inv_mul(x):
         return jnp.matmul(minv, x, precision=hi)
 
     return m_inv_mul
+
+
+def ns_inverse_residual(model: PhysicsModel, qpos: jnp.ndarray) -> jnp.ndarray:
+    """‖M⁻¹M − I‖∞ of the Newton–Schulz inverse at a configuration."""
+    from deepmimic_mujoco_tpu.physics import dynamics, kinematics
+
+    kin = kinematics.fk(model, qpos)
+    m = dynamics.mass_matrix(model, kin)
+    minv = mass_inverse(m)
+    hi = jax.lax.Precision.HIGHEST
+    r = jnp.matmul(minv, m, precision=hi) - jnp.eye(model.nv, dtype=m.dtype)
+    return jnp.max(jnp.abs(r))
+
+
+def calibrate_minv_mode(model: PhysicsModel, n_samples: int = 8,
+                        tol: float = 1e-4, seed: int = 0) -> PhysicsModel:
+    """Measure the NS inverse residual at qpos0 plus random perturbations and
+    pick the M⁻¹ path: 'ns' when the fixed iteration budget converges below
+    ``tol`` everywhere, 'cholesky' otherwise.  Run once at model build (the
+    MJCF importer does) — never on the step path."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(seed)
+    worst = 0.0
+    for i in range(n_samples):
+        key, k = jax.random.split(key)
+        qpos = model.qpos0
+        if i > 0:
+            dq = 0.3 * jax.random.normal(k, (model.nq,))
+            qpos = qpos + dq
+            # keep the root quaternion unit
+            qpos = qpos.at[3:7].set(quat.normalize(qpos[3:7]))
+        worst = max(worst, float(ns_inverse_residual(model, qpos)))
+    mode = "ns" if worst < tol else "cholesky"
+    return dataclasses.replace(model, minv_mode=mode)
 
 
 def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
@@ -102,7 +149,7 @@ def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
     )
     if qfrc_applied is not None:
         tau = tau + qfrc_applied
-    m_inv_mul = _chol_inv_mul(m)
+    m_inv_mul = _chol_inv_mul(m, getattr(model, "minv_mode", "ns"))
     qacc_smooth = m_inv_mul(tau)
 
     contacts = collision.floor_contacts(model, kin)

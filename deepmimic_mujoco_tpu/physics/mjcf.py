@@ -145,8 +145,14 @@ def parse_mjcf(xml_string: str, contact_cap: int = 1 << 30,
                                    motor_default["ctrlrange"]),
             )
 
-    return b.finalize(root_pos=root_pos[0] or (0, 0, 0),
-                      root_quat=root_quat[0] or (1, 0, 0, 0))
+    model = b.finalize(root_pos=root_pos[0] or (0, 0, 0),
+                       root_quat=root_quat[0] or (1, 0, 0, 0))
+    # arbitrary imported models may condition the mass matrix worse than the
+    # humanoid the Newton–Schulz budget is tuned for — measure and pick the
+    # M⁻¹ path once here (engine.calibrate_minv_mode)
+    from deepmimic_mujoco_tpu.physics import engine
+
+    return engine.calibrate_minv_mode(model)
 
 
 def load_mjcf(path: str, **kwargs) -> PhysicsModel:

@@ -69,6 +69,12 @@ class PhysicsModel:
     parent: tuple = ()                # per-body parent index, -1 = world (static topology)
     max_contacts: int = 1 << 30       # top-k cap on simultaneous floor contacts
     max_limits: int = 1 << 30         # top-k cap on simultaneous limit rows
+    # M⁻¹ algorithm: "ns" = Jacobi-scaled Newton–Schulz (pure matmuls, fast
+    # on the MXU; iteration budget tuned for κ(D^-1/2MD^-1/2)≲20) or
+    # "cholesky" (XLA batched solve — slower, unconditionally robust).
+    # engine.calibrate_minv_mode() measures the NS residual for a model and
+    # picks; the MJCF importer runs it for arbitrary imported models.
+    minv_mode: str = "ns"
     dt: float = 0.0166
     iterations: int = 50
     integrator: str = "rk4"           # "rk4" | "euler"
@@ -102,7 +108,7 @@ jax.tree_util.register_dataclass(
         "ancestor_mask", "qpos0", "gravity", "solref", "solimp",
     ],
     meta_fields=[
-        "parent", "max_contacts", "max_limits",
+        "parent", "max_contacts", "max_limits", "minv_mode",
         "dt", "iterations", "integrator", "nbody", "nq", "nv", "nhinge",
         "nu", "ncand", "body_hinges", "geom_type", "body_names",
         "geom_names", "hinge_names",

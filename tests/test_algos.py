@@ -113,6 +113,22 @@ class TestCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(loaded["b"]["c"]), np.asarray(tree["b"]["c"]))
 
+    def test_structure_mismatch_raises(self, tmp_path):
+        """A stale checkpoint with a different pytree structure must raise
+        instead of silently mis-mapping leaves (the stored __treedef__ is
+        validated against `like`)."""
+        import pytest
+
+        from deepmimic_mujoco_tpu.io_utils import checkpoint
+
+        tree = {"a": jnp.arange(3.0), "b": jnp.ones(2)}
+        p = str(tmp_path / "ckpt")
+        checkpoint.save(p, tree)
+        # same leaf count, different structure/keys
+        like = {"x": jnp.zeros(3), "y": jnp.zeros(2)}
+        with pytest.raises(ValueError, match="structure mismatch"):
+            checkpoint.load(p, like)
+
 
 class TestDatasets:
     def test_iterbatches_drops_partial(self):
