@@ -140,7 +140,8 @@ class PPO:
         seg = dict(ob=obs, ac=acs, neglogp=nlps, vpred=vpreds, rew=rews,
                    new=news.astype(jnp.float32), nextvpred=nextvpred,
                    ep_ret_sum=jnp.sum(e_rets), ep_len_sum=jnp.sum(e_lens),
-                   ep_count=jnp.sum(e_lens > 0))
+                   ep_count=jnp.sum(e_lens > 0),
+                   ep_rets=e_rets, ep_lens=e_lens)
         return seg, env_state, new_last, key, ep_ret, ep_len
 
     # ------------------------------------------------------------------
@@ -253,6 +254,7 @@ class PPO:
             ep_count=seg["ep_count"].astype(jnp.float32),
             timesteps=jnp.asarray(cfg.horizon * cfg.num_envs, jnp.float32),
             ep_len_sum_last=seg["ep_len_sum"],
+            ep_rets=seg["ep_rets"][None], ep_lens=seg["ep_lens"][None],
         )
         new_state = PPOState(
             params=params, opt=opt, env_state=env_state, new=new, key=key,

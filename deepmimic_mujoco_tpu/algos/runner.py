@@ -68,13 +68,25 @@ def evaluate(env, policy, params, key, n_episodes: int = 100,
     avg_len = float(jnp.mean(ep_len))
     avg_ret = float(jnp.mean(ep_ret))
     if save_path is not None:
-        obs, acs, rews = traj
+        # de-padded per-episode export: rows after an env's done are frozen
+        # state, so each episode is truncated to its true length (ragged
+        # object arrays — the reference's own export is a list of
+        # variable-length trajs, trpo.py:385-393)
+        obs, acs, rews = (np.asarray(t).swapaxes(0, 1) for t in traj)
+        lens = np.asarray(ep_len)
+
+        def ragged(arrs):
+            out = np.empty(len(arrs), dtype=object)
+            for i, a in enumerate(arrs):
+                out[i] = a
+            return out
+
         np.savez(
             save_path,
-            obs=np.asarray(obs).swapaxes(0, 1),
-            acs=np.asarray(acs).swapaxes(0, 1),
-            rews=np.asarray(rews).swapaxes(0, 1),
+            obs=ragged([o[:l] for o, l in zip(obs, lens)]),
+            acs=ragged([a[:l] for a, l in zip(acs, lens)]),
+            rews=ragged([r[:l] for r, l in zip(rews, lens)]),
             ep_rets=np.asarray(ep_ret),
-            lens=np.asarray(ep_len),
+            lens=lens,
         )
     return avg_len, avg_ret

@@ -71,14 +71,28 @@ def train(
 
         ep_count = int(stats.ep_count)
         if ep_count > 0:
-            mean_ret = float(stats.ep_ret_sum) / ep_count
-            mean_len = float(stats.ep_len_sum) / ep_count
-            # rolling buffers approximate the reference's per-episode deque
-            for _ in range(min(ep_count, 40)):
-                rewbuffer.append(mean_ret)
-                lenbuffer.append(mean_len)
-            if monitor is not None:
-                monitor.record(mean_ret, int(mean_len))
+            if stats.ep_lens is not None:
+                # true per-episode records in completion order (reference
+                # bench/monitor.py:58-76 writes one row per episode; the
+                # deques then hold real episodes, not repeated means)
+                lens = np.asarray(stats.ep_lens).reshape(-1)
+                rets = np.asarray(stats.ep_rets).reshape(-1)
+                ended = lens > 0
+                for r, l in zip(rets[ended], lens[ended]):
+                    rewbuffer.append(float(r))
+                    lenbuffer.append(int(l))
+                    if monitor is not None:
+                        monitor.record(float(r), int(l))
+            else:
+                # learners without per-episode arrays (GAIL): fall back to
+                # the per-iteration mean approximation
+                mean_ret = float(stats.ep_ret_sum) / ep_count
+                mean_len = float(stats.ep_len_sum) / ep_count
+                for _ in range(min(ep_count, 40)):
+                    rewbuffer.append(mean_ret)
+                    lenbuffer.append(mean_len)
+                if monitor is not None:
+                    monitor.record(mean_ret, int(mean_len))
         episodes_so_far += ep_count
         timesteps_so_far += int(stats.timesteps)
         counted_so_far += int(stats.ep_len_sum_last)

@@ -99,6 +99,12 @@ class IterStats(NamedTuple):
     # segments (trpo.py:310-311 reads seg["ep_lens"] of the final seg), so
     # its x-axis undercounts sampled steps ~g_step·horizon/Σlens-fold.
     ep_len_sum_last: Any
+    # per-episode records (g_step, T, B): nonzero entries are the return /
+    # length of an episode that ENDED at that step — the host extracts true
+    # per-episode rows for the monitor (reference bench/monitor.py:58-76
+    # records one CSV row per episode, not per iteration)
+    ep_rets: Any = None
+    ep_lens: Any = None
 
 
 def _policy_leaves(params):
@@ -193,7 +199,8 @@ class TRPO:
         seg = dict(ob=obs, ac=acs, vpred=vpreds, rew=rews,
                    new=news.astype(jnp.float32), nextvpred=nextvpred,
                    ep_ret_sum=jnp.sum(e_rets), ep_len_sum=jnp.sum(e_lens),
-                   ep_count=jnp.sum(e_lens > 0))
+                   ep_count=jnp.sum(e_lens > 0),
+                   ep_rets=e_rets, ep_lens=e_lens)
         return seg, env_state, new_last, key, ep_ret, ep_len
 
     # ------------------------------------------------------------------
@@ -361,6 +368,7 @@ class TRPO:
         ev = jnp.zeros((), jnp.float32)
 
         ep_len_sum_last = jnp.zeros((), jnp.float32)
+        ep_rets_all, ep_lens_all = [], []
         for _ in range(cfg.g_step):
             seg, env_state, new, key, ep_ret, ep_len = self._rollout(
                 params, env_state, new, key, ep_ret, ep_len)
@@ -370,6 +378,8 @@ class TRPO:
             ep_len_sum += seg["ep_len_sum"]
             ep_count += seg["ep_count"].astype(jnp.float32)
             ep_len_sum_last = seg["ep_len_sum"]
+            ep_rets_all.append(seg["ep_rets"])
+            ep_lens_all.append(seg["ep_lens"])
 
         stats = IterStats(
             optimgain=meanlosses[0], meankl=meanlosses[1], entloss=meanlosses[2],
@@ -377,6 +387,7 @@ class TRPO:
             ep_ret_sum=ep_ret_sum, ep_len_sum=ep_len_sum, ep_count=ep_count,
             timesteps=jnp.asarray(cfg.g_step * cfg.horizon * cfg.num_envs, jnp.float32),
             ep_len_sum_last=ep_len_sum_last,
+            ep_rets=jnp.stack(ep_rets_all), ep_lens=jnp.stack(ep_lens_all),
         )
         new_state = TRPOState(
             params=params, vf_adam=vf_adam, env_state=env_state, new=new,

@@ -172,6 +172,57 @@ class TestTRPOSmoke:
         flat = jax.flatten_util.ravel_pytree(state.params)[0]
         assert bool(jnp.isfinite(flat).all())
 
+    def test_per_episode_monitor_rows(self, tmp_path):
+        """The monitor gets one row per EPISODE with true (r, l), not
+        per-iteration means repeated (reference bench/monitor.py:58-76)."""
+        import csv
+
+        from deepmimic_mujoco_tpu.algos.train_loop import train
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk", max_episode_steps=3)
+        policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=28)
+        cfg = TRPOConfig(horizon=6, num_envs=2, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=4, line_search_steps=2)
+        learner = TRPO(env, policy, cfg)
+        log_dir = str(tmp_path / "logs")
+        train(learner, seed=0, max_iters=3, log_dir=log_dir, verbose=False)
+        with open(f"{log_dir}/monitor.json.monitor.csv") as f:
+            f.readline()  # '#{json}' run-metadata header line
+            rows = list(csv.DictReader(f))
+        # 2 envs × 6 steps × 3 iters with 3-step episodes → 12 episodes
+        assert len(rows) == 12, len(rows)
+        lens = {int(float(r["l"])) for r in rows}
+        assert lens == {3}, lens
+
+    def test_evaluate_export_depadded(self, tmp_path):
+        """Saved trajectories contain no frozen post-done rows: each
+        episode's arrays are exactly its true length."""
+        from deepmimic_mujoco_tpu.algos.runner import evaluate
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk", max_episode_steps=4)
+        policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=28)
+        params = policy.init(jax.random.PRNGKey(0))
+        path = str(tmp_path / "trajs.npz")
+        evaluate(env, policy, params, jax.random.PRNGKey(1), n_episodes=3,
+                 horizon=10, save_path=path)
+        z = np.load(path, allow_pickle=True)
+        lens = z["lens"]
+        assert (lens <= 4).all()
+        for i in range(3):
+            assert len(z["obs"][i]) == lens[i]
+            assert len(z["acs"][i]) == lens[i]
+            assert len(z["rews"][i]) == lens[i]
+        # consumer check: MujocoDset flattens the ragged export cleanly
+        from deepmimic_mujoco_tpu.algos.dataset import MujocoDset
+
+        d = MujocoDset(path, traj_limitation=-1)
+        assert d.num_transition == int(lens.sum())
+
     def test_deterministic(self):
         from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
         from deepmimic_mujoco_tpu.envs import DPEnvV3
