@@ -75,6 +75,10 @@ class PhysicsModel:
     # engine.calibrate_minv_mode() measures the NS residual for a model and
     # picks; the MJCF importer runs it for arbitrary imported models.
     minv_mode: str = "ns"
+    # constraint solver: "apgd" (batched Nesterov PGD — the TPU hot path) or
+    # "pgs" (sequential projected Gauss–Seidel sweeps, the structure of the
+    # reference's MuJoCo PGS — for CPU parity A/B runs)
+    solver_mode: str = "apgd"
     dt: float = 0.0166
     iterations: int = 50
     integrator: str = "rk4"           # "rk4" | "euler"
@@ -108,7 +112,7 @@ jax.tree_util.register_dataclass(
         "ancestor_mask", "qpos0", "gravity", "solref", "solimp",
     ],
     meta_fields=[
-        "parent", "max_contacts", "max_limits", "minv_mode",
+        "parent", "max_contacts", "max_limits", "minv_mode", "solver_mode",
         "dt", "iterations", "integrator", "nbody", "nq", "nv", "nhinge",
         "nu", "ncand", "body_hinges", "geom_type", "body_names",
         "geom_names", "hinge_names",

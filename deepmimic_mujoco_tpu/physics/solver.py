@@ -83,6 +83,46 @@ class EfcSolution(NamedTuple):
     force: jnp.ndarray            # (nefc,) constraint-space forces
 
 
+def pgs_solve(a: jnp.ndarray, bvec: jnp.ndarray, mu: jnp.ndarray,
+              nc: int, nl: int, n_sweeps: int) -> jnp.ndarray:
+    """Sequential projected Gauss–Seidel sweeps over the same dual system —
+    the structure of MuJoCo 2.0's PGS solver (the reference XML's
+    ``solver="PGS"``, asset/dp_env_v3.xml:9): per contact 3-block, a
+    diagonally-scaled update followed by friction-cone projection, in row
+    order; limit rows clamp to f ≥ 0.
+
+    Deliberately sequential (fori_loop over blocks) — this is the PARITY
+    mode for CPU A/B runs against host MuJoCo, not the TPU hot path (APGD's
+    batched matvecs are; see module docstring)."""
+    ne = a.shape[0]
+    diag = jnp.diagonal(a)
+
+    def one_sweep(f, _):
+        def contact_body(i, f):
+            s = 3 * i
+            a_blk = jax.lax.dynamic_slice(a, (s, 0), (3, ne))
+            r = a_blk @ f + jax.lax.dynamic_slice(bvec, (s,), (3,))
+            d = jnp.maximum(jax.lax.dynamic_slice(diag, (s,), (3,)), 1e-8)
+            f_blk = jax.lax.dynamic_slice(f, (s,), (3,)) - r / d
+            f_blk = _project_cone(f_blk, mu[i])
+            return jax.lax.dynamic_update_slice(f, f_blk, (s,))
+
+        f = jax.lax.fori_loop(0, nc, contact_body, f)
+
+        def limit_body(i, f):
+            s = 3 * nc + i
+            r = jnp.dot(a[s], f) + bvec[s]
+            fi = jnp.maximum(f[s] - r / jnp.maximum(diag[s], 1e-8), 0.0)
+            return f.at[s].set(fi)
+
+        f = jax.lax.fori_loop(0, nl, limit_body, f)
+        return f, None
+
+    f0 = jnp.zeros(ne, a.dtype)
+    f, _ = jax.lax.scan(one_sweep, f0, None, length=n_sweeps)
+    return f
+
+
 def solve_constraints(
     model: PhysicsModel,
     m_inv_mul,                 # callable: (nv,) -> M⁻¹ x
@@ -156,12 +196,17 @@ def solve_constraints(
     a = a + jnp.diag(r)
     bvec = j @ qacc_smooth - aref
 
-    # ---- APGD iteration (Pallas kernel under vmap on TPU; XLA scan
-    # otherwise — see ops/apgd.py) ----
-    from deepmimic_mujoco_tpu.ops.apgd import make_apgd
+    if getattr(model, "solver_mode", "apgd") == "pgs":
+        # PGS-compatible sequential sweeps (parity mode for CPU A/B runs)
+        f = pgs_solve(a, bvec, contacts.mu, int(nc), int(nl),
+                      int(model.iterations))
+    else:
+        # APGD iteration (Pallas kernel under vmap on TPU; XLA scan
+        # otherwise — see ops/apgd.py)
+        from deepmimic_mujoco_tpu.ops.apgd import make_apgd
 
-    apgd = make_apgd(int(model.iterations), int(nc), int(nl), use_pallas())
-    f = apgd(a, bvec, contacts.mu)
+        apgd = make_apgd(int(model.iterations), int(nc), int(nl), use_pallas())
+        f = apgd(a, bvec, contacts.mu)
     f = jnp.where(act_rows, f, 0.0)
 
     qfrc = j.T @ f

@@ -268,6 +268,97 @@ class TestMassInverse:
             assert worst >= 1e-4
 
 
+class TestPGSSolverMode:
+    """The PGS-compatible sequential-sweep solver (parity mode)."""
+
+    def test_pgs_converges_to_apgd_solution(self):
+        """Both solvers minimize the same strictly-convex dual QCQP → they
+        agree at convergence (measured: 11% rel diff at the default 50-iter
+        budget from different truncation paths, 0.65% at 200, 0.016% at
+        600)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+
+        model = dataclasses.replace(build_humanoid(), iterations=200)
+        model_pgs = dataclasses.replace(model, solver_mode="pgs")
+        # drop from slightly above the floor → several active contacts
+        qpos = jnp.asarray(model.qpos0).at[2].add(-0.12)
+        qvel = jnp.zeros(model.nv).at[2].set(-1.0)
+        ctrl = jnp.zeros(model.nu)
+        f_a = engine.forward(model, qpos, qvel, ctrl)
+        f_p = engine.forward(model_pgs, qpos, qvel, ctrl)
+        qa, qp_ = np.asarray(f_a.qacc), np.asarray(f_p.qacc)
+        assert np.isfinite(qp_).all()
+        denom = np.maximum(np.abs(qa).max(), 1.0)
+        assert np.abs(qa - qp_).max() / denom < 0.02, \
+            np.abs(qa - qp_).max() / denom
+
+    def test_p_controller_tracking_ab_budget(self):
+        """The env_torque_test analogue (reference env_torque_test.py:13-43)
+        as a cross-backend A/B budget: a weak P-controller tracks the walk
+        clip through (a) the JAX engine (APGD), (b) the PGS parity mode and
+        (c) host MuJoCo, over 60 contact-rich steps.  Trajectories are
+        chaotic after contact; the *controller-level* behaviour must agree:
+        per-step weighted pose error within budget and the fall time within
+        a couple of control steps.  Measured 2026-08-17: first-20-step mean
+        |Δpose_err| APGD↔MuJoCo 0.096 rad, PGS↔MuJoCo 0.094 rad, fall step
+        24/24/26 — the sequential-sweep structure is NOT the divergence
+        driver (see BASELINE.md 'bit-exactness' note)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.envs import rewards
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+        from deepmimic_mujoco_tpu.physics.mj_host import MJHostDynamics
+
+        clip = get_clip("walk")
+        model = build_humanoid()
+        model_pgs = dataclasses.replace(model, solver_mode="pgs")
+        mj = MJHostDynamics(model)
+        cq = jnp.asarray(clip.qpos)
+        cv = jnp.asarray(clip.qvel)
+
+        def run(stepper, n=60):
+            qp, qv = cq[0], cv[0]
+            errs, hts = [], []
+            for t in range(n):
+                ref = cq[(t + 1) % len(clip)]
+                ac = 0.8 * (ref[7:] - qp[7:])
+                qp, qv = stepper(qp, qv, ac)
+                errs.append(float(rewards.weighted_pose_error(
+                    qp[7:], ref[7:])))
+                hts.append(float(qp[2]))
+            return np.array(errs), np.array(hts)
+
+        steppers = {
+            "apgd": jax.jit(lambda qp, qv, ac: engine.step(
+                model, qp, qv, ac, n_substeps=2)),
+            "pgs": jax.jit(lambda qp, qv, ac: engine.step(
+                model_pgs, qp, qv, ac, n_substeps=2)),
+            "mujoco": lambda qp, qv, ac: mj.step(qp, qv, ac, n_substeps=2),
+        }
+        out = {k: run(s) for k, s in steppers.items()}
+
+        def fall_step(h):
+            below = h < 0.4
+            return int(np.argmax(below)) if below.any() else len(h)
+
+        e_mj, h_mj = out["mujoco"]
+        for name in ("apgd", "pgs"):
+            e, h = out[name]
+            assert np.abs(e - e_mj)[:20].mean() < 0.2, name
+            assert np.abs(h - h_mj)[:20].mean() < 0.02, name
+            assert abs(fall_step(h) - fall_step(h_mj)) <= 4, (
+                name, fall_step(h), fall_step(h_mj))
+
+
 class TestMuJoCoDivergenceBudget:
     """Quantitative contact-regime budget vs real MuJoCo (different solver:
     APGD vs PGS/Newton, so exactness is bounded by solver differences —
