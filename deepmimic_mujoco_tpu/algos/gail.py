@@ -37,7 +37,14 @@ class GAILConfig(NamedTuple):
     trpo: TRPOConfig = TRPOConfig(horizon=1024, num_envs=1)
     d_step: int = 1
     d_stepsize: float = 3e-4
-    d_batches: int = 4      # minibatches per d_step over the policy batch
+    d_batches: int = 4      # minibatches per d_step (d_exact=False mode)
+    # True = the reference's exact d-step semantics (gail.py:329-343): per
+    # iteration, shuffle the policy batch and sweep it once in d_step
+    # sequential minibatches of size n//d_step, pairing each with the next
+    # sequential expert slice (Mujoco_Dset.get_next_batch pointer).
+    # False = legacy r1 behaviour: d_step×d_batches random subsamples (same
+    # distribution in expectation, different per-iteration coverage).
+    d_exact: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,10 +52,14 @@ class GAILState:
     trpo: Any                 # TRPOState
     d_params: Any
     d_adam: adam.AdamState
+    # sequential expert-batch cursor (Mujoco_Dset pointer, mujoco_dset.py
+    # get_next_batch) — used by the d_exact mode
+    expert_ptr: Any = 0
 
 
 jax.tree_util.register_dataclass(
-    GAILState, data_fields=["trpo", "d_params", "d_adam"], meta_fields=[])
+    GAILState, data_fields=["trpo", "d_params", "d_adam", "expert_ptr"],
+    meta_fields=[])
 
 
 class GAILStats(NamedTuple):
@@ -81,7 +92,8 @@ class GAIL:
         d_params = self.disc.init(k_d)
         n_d = jax.flatten_util.ravel_pytree(d_params["net"])[0].shape[0]
         return GAILState(
-            trpo=self.trpo.init(k_t), d_params=d_params, d_adam=adam.init(n_d))
+            trpo=self.trpo.init(k_t), d_params=d_params, d_adam=adam.init(n_d),
+            expert_ptr=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
     def _rollout_with_disc_reward(self, d_params, params, env_state, new0,
@@ -181,19 +193,17 @@ class GAIL:
         # ---- discriminator updates (gail.py:329-343) ----
         d_flat, d_unravel = jax.flatten_util.ravel_pytree(d_params["net"])
         n = last_ob.shape[0]
-        mb = max(1, n // self.cfg.d_batches)
         n_exp = self.expert_obs.shape[0]
+        expert_ptr = state.expert_ptr
 
         def d_loss_fn(theta, obs_rms, g_ob, g_ac, e_ob, e_ac):
             p = {"net": d_unravel(theta), "obs_rms": obs_rms}
             total, metrics = self.disc.loss(p, g_ob, g_ac, e_ob, e_ac)
             return total, metrics
 
-        def d_update(carry, k):
+        def d_minibatch(carry, idx_pair):
             d_flat, d_adam, obs_rms = carry
-            k1, k2 = jax.random.split(k)
-            g_idx = jax.random.choice(k1, n, (mb,), replace=False)
-            e_idx = jax.random.choice(k2, n_exp, (mb,), replace=True)
+            g_idx, e_idx = idx_pair
             g_ob, g_ac = last_ob[g_idx], last_ac[g_idx]
             e_ob, e_ac = self.expert_obs[e_idx], self.expert_acs[e_idx]
             obs_rms = running_stats.update(
@@ -206,9 +216,32 @@ class GAIL:
                                                metrics["expert_acc"])
 
         key, k_d = jax.random.split(key)
-        d_keys = jax.random.split(k_d, self.cfg.d_step * self.cfg.d_batches)
+        if self.cfg.d_exact:
+            # EXACT reference semantics (gail.py:334-343): shuffle the whole
+            # policy batch, sweep it once in d_step sequential minibatches of
+            # n//d_step; expert batches advance a sequential cursor
+            # (Mujoco_Dset.get_next_batch) with wraparound
+            mb = max(1, n // self.cfg.d_step)
+            n_mb = self.cfg.d_step
+            perm = jax.random.permutation(k_d, n)
+            g_idx = perm[: n_mb * mb].reshape(n_mb, mb)
+            e_idx = (expert_ptr
+                     + jnp.arange(n_mb * mb).reshape(n_mb, mb)) % n_exp
+            expert_ptr = (expert_ptr + n_mb * mb) % n_exp
+        else:
+            # legacy r1 mode: d_step×d_batches random subsamples
+            mb = max(1, n // self.cfg.d_batches)
+            n_mb = self.cfg.d_step * self.cfg.d_batches
+            ks = jax.random.split(k_d, 2 * n_mb)
+            g_idx = jax.vmap(
+                lambda k: jax.random.choice(k, n, (mb,), replace=False)
+            )(ks[:n_mb])
+            e_idx = jax.vmap(
+                lambda k: jax.random.choice(k, n_exp, (mb,), replace=True)
+            )(ks[n_mb:])
         (d_flat, d_adam, d_obs_rms), (d_losses, g_accs, e_accs) = jax.lax.scan(
-            d_update, (d_flat, d_adam, d_params["obs_rms"]), d_keys)
+            d_minibatch, (d_flat, d_adam, d_params["obs_rms"]),
+            (g_idx, e_idx))
         d_params = {"net": d_unravel(d_flat), "obs_rms": d_obs_rms}
 
         from deepmimic_mujoco_tpu.algos.trpo import TRPOState
@@ -229,4 +262,5 @@ class GAIL:
             d_loss=jnp.mean(d_losses), gen_acc=jnp.mean(g_accs),
             exp_acc=jnp.mean(e_accs), true_ep_ret_sum=true_sum,
         )
-        return GAILState(trpo=new_trpo, d_params=d_params, d_adam=d_adam), stats
+        return GAILState(trpo=new_trpo, d_params=d_params, d_adam=d_adam,
+                         expert_ptr=expert_ptr), stats

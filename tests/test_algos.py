@@ -264,6 +264,37 @@ class TestGAILSmoke:
         assert np.isfinite(float(stats.d_loss))
         assert 0.0 <= float(stats.gen_acc) <= 1.0
 
+    def test_exact_d_step_semantics(self):
+        """d_exact mode = the reference's sequential d-step sweep
+        (gail.py:329-343): per iteration the policy batch is consumed once in
+        d_step minibatches of n//d_step, and the expert cursor advances
+        sequentially (Mujoco_Dset.get_next_batch pointer)."""
+        from deepmimic_mujoco_tpu.algos.gail import GAIL, GAILConfig
+        from deepmimic_mujoco_tpu.algos.trpo import TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk")
+        policy = MlpPolicy(ob_dim=56, ac_dim=28)
+        rng = np.random.RandomState(0)
+        n_exp = 50
+        cfg = GAILConfig(
+            trpo=TRPOConfig(horizon=8, num_envs=2, g_step=1, cg_iters=2,
+                            vf_iters=1, vf_batch_size=4, line_search_steps=2),
+            d_step=2, d_exact=True,
+        )
+        learner = GAIL(env, policy, rng.randn(n_exp, 56),
+                       rng.randn(n_exp, 28), cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+        assert int(state.expert_ptr) == 0
+        state, stats = learner.iteration(state)
+        # policy batch n = 8*2 = 16, d_step=2 → two sequential expert slices
+        # of 8 → cursor at 16
+        assert int(state.expert_ptr) == 16 % n_exp
+        state, _ = learner.iteration(state)
+        assert int(state.expert_ptr) == 32 % n_exp
+        assert np.isfinite(float(stats.d_loss))
+
 
 class TestPPO:
     """Vectorized clipped-PPO (algos/ppo.py)."""
