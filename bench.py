@@ -4,18 +4,100 @@ current accelerator.
 
 Prints ONE JSON line:
   {"metric": "trpo_env_steps_per_s", "value": N, "unit": "steps/s",
-   "vs_baseline": N / 460}
+   "vs_baseline": N / 460, "num_envs": B, "phase_ms": {...},
+   "sweep": {B: steps_per_s, ...}}
 
 Baseline: the reference's bundled TRPO run sustains ~460 env-steps/s
 end-to-end (sampling + update, 1 worker) — BASELINE.md.  Here sampling and
 the full TRPO update run inside one jitted program over a vmapped env batch.
 
-Env knobs: BENCH_NUM_ENVS (default 512), BENCH_HORIZON (64), BENCH_ITERS (5).
+Env knobs:
+  BENCH_NUM_ENVS   headline batch (default 768 — measured optimum on v5e)
+  BENCH_HORIZON    segment length (64)
+  BENCH_ITERS      timed iterations (5)
+  BENCH_SWEEP      "512,768,2048,4096" to also measure other batch sizes
+  BENCH_BREAKDOWN  1 → per-phase (rollout / policy+CG / vf) timings
+  BENCH_PLATFORM   force jax platform
 """
 
 import json
 import os
 import time
+
+
+def _time(fn, block, iters):
+    fn()          # compile + warmup
+    block()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    block()
+    return (time.perf_counter() - t0) / iters, out
+
+
+def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
+    import jax
+
+    from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+    from deepmimic_mujoco_tpu.envs import DPEnvV3
+    from deepmimic_mujoco_tpu.models import MlpPolicy
+
+    env = DPEnvV3(clip="walk")
+    policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
+    cfg = TRPOConfig(horizon=horizon, num_envs=num_envs, g_step=1)
+    learner = TRPO(env, policy, cfg)
+
+    state = learner.init(jax.random.PRNGKey(0))
+    holder = {"state": state}
+
+    def full():
+        holder["state"], stats = learner.iteration(holder["state"])
+        return stats
+
+    dt, _ = _time(full, lambda: jax.block_until_ready(holder["state"].params),
+                  iters)
+    steps = cfg.g_step * cfg.horizon * cfg.num_envs
+    out = {"steps_per_s": steps / dt, "iter_ms": dt * 1e3}
+
+    if breakdown:
+        state = holder["state"]
+
+        rollout = jax.jit(lambda p, es, nw, k, er, el: learner._rollout(
+            p, es, nw, k, er, el))
+
+        seg_holder = {}
+
+        def roll():
+            seg, es, nw, k, er, el = rollout(
+                state.params, state.env_state, state.new, state.key,
+                state.cur_ep_ret, state.cur_ep_len)
+            seg_holder["seg"] = seg
+            return seg
+
+        dt_roll, seg = _time(
+            roll, lambda: jax.block_until_ready(seg_holder["seg"]["ob"]),
+            iters)
+
+        upd = jax.jit(lambda p, va, seg, k: learner._segment_update(
+            p, va, seg, k))
+        upd_holder = {}
+
+        def update():
+            out = upd(state.params, state.vf_adam, seg, state.key)
+            upd_holder["p"] = out[0]
+            return out
+
+        dt_upd, _ = _time(
+            update, lambda: jax.block_until_ready(upd_holder["p"]["pol"]),
+            iters)
+        out["phase_ms"] = {
+            "rollout": round(dt_roll * 1e3, 2),
+            "update": round(dt_upd * 1e3, 2),
+            "full_iter": round(dt * 1e3, 2),
+        }
+        # rollout-only throughput bounds the physics+policy speed of light
+        out["rollout_steps_per_s"] = steps / dt_roll
+    return out
 
 
 def main() -> None:
@@ -29,38 +111,32 @@ def main() -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
-    from deepmimic_mujoco_tpu.envs import DPEnvV3
-    from deepmimic_mujoco_tpu.models import MlpPolicy
-
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 768))
     horizon = int(os.environ.get("BENCH_HORIZON", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "0") not in ("0", "")
+    sweep_env = os.environ.get("BENCH_SWEEP", "")
 
-    env = DPEnvV3(clip="walk")
-    policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
-    cfg = TRPOConfig(horizon=horizon, num_envs=num_envs, g_step=1)
-    learner = TRPO(env, policy, cfg)
-
-    state = learner.init(jax.random.PRNGKey(0))
-    # compile + warmup
-    state, _ = learner.iteration(state)
-    jax.block_until_ready(state.params)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, stats = learner.iteration(state)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
-    steps = iters * cfg.g_step * cfg.horizon * cfg.num_envs
-    sps = steps / dt
-    print(json.dumps({
+    result = measure(num_envs, horizon, iters, breakdown)
+    payload = {
         "metric": "trpo_env_steps_per_s",
-        "value": round(sps, 1),
+        "value": round(result["steps_per_s"], 1),
         "unit": "steps/s",
-        "vs_baseline": round(sps / 460.0, 2),
-    }))
+        "vs_baseline": round(result["steps_per_s"] / 460.0, 2),
+        "num_envs": num_envs,
+    }
+    if breakdown:
+        payload["phase_ms"] = result["phase_ms"]
+        payload["rollout_steps_per_s"] = round(result["rollout_steps_per_s"], 1)
+    if sweep_env:
+        sweep = {}
+        for b in (int(x) for x in sweep_env.split(",")):
+            if b == num_envs:
+                sweep[b] = round(result["steps_per_s"], 1)
+                continue
+            sweep[b] = round(measure(b, horizon, iters, False)["steps_per_s"], 1)
+        payload["sweep"] = sweep
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
