@@ -232,9 +232,8 @@ class PPOAgent:
             (rewards, vals[1:], path_end.astype(rewards.dtype)), reverse=True)
         return new_vals
 
-    def losses(self, params, s, a, old_logp, adv, tar_vals):
-        """actor/critic losses (ppo_agent.py:93-121)."""
-        # critic
+    def _critic_loss(self, params, s, tar_vals):
+        """critic loss (ppo_agent.py:93-103, shared with the PG agent)."""
         v_n = apply_relu_mlp(
             params["critic"], self.s_norm.normalize(params["s_norm"], s))[..., 0]
         tar_n = self.val_norm.normalize(params["val_norm"], tar_vals[..., None])[..., 0]
@@ -242,8 +241,20 @@ class PPOAgent:
         if self.critic_wd:
             critic_loss += self.critic_wd * 0.5 * sum(
                 jnp.sum(jnp.square(l["w"])) for l in params["critic"])
+        return critic_loss
 
-        # actor
+    def _bound_loss(self, params, norm_mean):
+        """bound loss on the normalized mean (tf_util.py:65-71)."""
+        bmin = self.a_norm.normalize(params["a_norm"], self.a_bound_min)
+        bmax = self.a_norm.normalize(params["a_norm"], self.a_bound_max)
+        v_min = jnp.minimum(norm_mean - bmin, 0.0)
+        v_max = jnp.maximum(norm_mean - bmax, 0.0)
+        return 0.5 * jnp.mean(
+            jnp.sum(jnp.square(v_min), -1) + jnp.sum(jnp.square(v_max), -1))
+
+    def _actor_loss(self, params, s, a, old_logp, adv):
+        """clipped-surrogate actor loss + bound loss (ppo_agent.py:105-121);
+        returns (loss, clip_frac)."""
         _, noise_std = self.exp_params_at(params["sample_count"])
         mean = self.actor_mean(params, s)
         norm_mean = self.a_norm.normalize(params["a_norm"], mean)
@@ -255,18 +266,18 @@ class PPOAgent:
         surr0 = adv * ratio
         surr1 = adv * jnp.clip(ratio, 1.0 - self.ratio_clip, 1.0 + self.ratio_clip)
         actor_loss = -jnp.mean(jnp.minimum(surr0, surr1))
-        # bound loss on normalized mean (tf_util.py:65-71)
-        bmin = self.a_norm.normalize(params["a_norm"], self.a_bound_min)
-        bmax = self.a_norm.normalize(params["a_norm"], self.a_bound_max)
-        v_min = jnp.minimum(norm_mean - bmin, 0.0)
-        v_max = jnp.maximum(norm_mean - bmax, 0.0)
-        actor_loss += 0.5 * jnp.mean(
-            jnp.sum(jnp.square(v_min), -1) + jnp.sum(jnp.square(v_max), -1))
+        actor_loss += self._bound_loss(params, norm_mean)
         if self.actor_wd:
             actor_loss += self.actor_wd * 0.5 * sum(
                 jnp.sum(jnp.square(l["w"])) for l in params["actor"])
         clip_frac = jnp.mean(
             (jnp.abs(ratio - 1.0) > self.ratio_clip).astype(jnp.float32))
+        return actor_loss, clip_frac
+
+    def losses(self, params, s, a, old_logp, adv, tar_vals):
+        """actor/critic losses (ppo_agent.py:93-121)."""
+        critic_loss = self._critic_loss(params, s, tar_vals)
+        actor_loss, clip_frac = self._actor_loss(params, s, a, old_logp, adv)
         return critic_loss, actor_loss, clip_frac
 
     @partial(jax.jit, static_argnums=0)

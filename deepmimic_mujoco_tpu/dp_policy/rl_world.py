@@ -25,9 +25,13 @@ def build_agent(spec: dict, state_size: int, action_size: int,
                 **kwargs) -> PPOAgent:
     """AgentBuilder.build_agent (agent_builder.py:7-19)."""
     agent_type = spec.get("AgentType", "PPO")
-    if agent_type != "PPO":
-        raise ValueError(f"Unsupported agent type {agent_type!r}")
-    return PPOAgent(state_size, action_size, spec=spec, **kwargs)
+    if agent_type == "PPO":
+        return PPOAgent(state_size, action_size, spec=spec, **kwargs)
+    if agent_type == "PG":
+        from deepmimic_mujoco_tpu.dp_policy.pg_agent import PGAgent
+
+        return PGAgent(state_size, action_size, spec=spec, **kwargs)
+    raise ValueError(f"Unsupported agent type {agent_type!r}")
 
 
 class RLWorld:

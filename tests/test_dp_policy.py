@@ -325,6 +325,41 @@ class TestDeepMimicSurface:
         assert done
 
 
+class TestPGAgent:
+    """Vanilla policy-gradient agent (pg_agent.py parity)."""
+
+    def test_build_from_spec_and_train(self):
+        from deepmimic_mujoco_tpu.dp_policy.pg_agent import PGAgent
+
+        agent = build_agent({"AgentType": "PG", "MiniBatchSize": 4,
+                             "BatchSize": 16}, 6, 3)
+        assert isinstance(agent, PGAgent)
+        params = agent.init(jax.random.PRNGKey(0))
+        n = 8
+        rng = np.random.RandomState(0)
+        states = jnp.asarray(rng.randn(n, 6), jnp.float32)
+        is_end = jnp.zeros(n, bool).at[n - 1].set(True)
+        params2, metrics = agent.train_on_batch(
+            params, jax.random.PRNGKey(1), states, jnp.zeros((n, 3)),
+            jnp.zeros(n), jnp.ones(n), is_end, is_end,
+            jnp.zeros(n, bool), jnp.zeros(n, bool).at[0].set(True), 2)
+        assert np.isfinite(metrics["critic_loss"])
+        assert float(metrics["clip_frac"]) == 0.0  # PG has no ratio clip
+
+    def test_actor_loss_is_advantage_weighted_regression(self):
+        agent = build_agent({"AgentType": "PG"}, 4, 2)
+        params = agent.init(jax.random.PRNGKey(0))
+        s = jnp.ones((5, 4))
+        mean = agent.actor_mean(params, s)
+        # actions at the mean → regression term 0; positive adv ⇒ loss is
+        # just bound+decay, independent of adv
+        l0, _ = agent._actor_loss(params, s, mean, jnp.zeros(5),
+                                  jnp.ones(5))
+        l1, _ = agent._actor_loss(params, s, mean, jnp.zeros(5),
+                                  10.0 * jnp.ones(5))
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+
+
 class TestRLWorld:
     def test_build_agent_from_spec(self):
         spec = {"AgentType": "PPO", "MiniBatchSize": 8}
