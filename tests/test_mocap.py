@@ -142,3 +142,69 @@ class TestReferenceParity:
             frames = np.asarray(json.load(f)["Frames"], dtype=np.float64)
         bundled = get_clip("run")
         np.testing.assert_array_equal(bundled.raw_frames, frames)
+
+
+class TestLegacyV1Surface:
+    """v1 MocapDM parity layer (mocap/legacy.py vs reference mocap_v1.py)."""
+
+    def test_data_keeps_quaternions(self):
+        from deepmimic_mujoco_tpu.mocap.legacy import MocapV1
+
+        m = MocapV1()
+        m.load_mocap("walk")
+        assert m.data.shape[1] == 44   # dura + pos3 + quat4 + joints
+        # root quats are unit
+        n = np.linalg.norm(m.data[:, 4:8], axis=1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-5)
+        assert len(m.all_states) == len(m.data)
+        assert len(m.durations) == len(m.data)
+
+    def test_data_angle_layout_quirk(self):
+        """data_angle rows mix root pos(3) + root QUAT(4) + joint
+        rpy/scalars (mocap_v1.py:118-151)."""
+        from deepmimic_mujoco_tpu.mocap.constants import BODY_JOINTS, DOF_DEF
+        from deepmimic_mujoco_tpu.mocap.legacy import MocapV1
+
+        m = MocapV1()
+        m.load_mocap("walk")
+        expect = 3 + 4 + sum(3 if DOF_DEF[j] == 3 else 1
+                             for j in BODY_JOINTS)
+        assert len(m.data_angle[0]) == expect
+
+    def test_quat2euler_roundtrip(self):
+        """The hand-rolled rpy conversion inverts the standard xyz-extrinsic
+        euler composition."""
+        import math
+
+        from deepmimic_mujoco_tpu.mocap.legacy import quat2euler
+
+        phi, theta, psi = 0.3, -0.4, 0.9
+
+        def q_axis(angle, axis):
+            h = angle / 2.0
+            return np.array([math.cos(h)] + [math.sin(h) * a for a in axis])
+
+        def q_mul(a, b):
+            w0, x0, y0, z0 = a
+            w1, x1, y1, z1 = b
+            return np.array([
+                w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+                w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+                w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+                w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
+            ])
+
+        q = q_mul(q_mul(q_axis(psi, (0, 0, 1)), q_axis(theta, (0, 1, 0))),
+                  q_axis(phi, (1, 0, 0)))
+        np.testing.assert_allclose(quat2euler(q), [phi, theta, psi],
+                                   atol=1e-8)
+
+    def test_data_vel_matches_shared_pipeline(self):
+        from deepmimic_mujoco_tpu.mocap.legacy import MocapV1
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+
+        m = MocapV1()
+        m.load_mocap("walk")
+        clip = get_clip("walk")
+        np.testing.assert_allclose(np.asarray(m.data_vel[1:]),
+                                   np.asarray(clip.qvel)[1:], atol=1e-6)
