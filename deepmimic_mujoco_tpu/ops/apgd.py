@@ -90,6 +90,88 @@ def _apgd_kernel(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
     f_ref[:] = f
 
 
+def _project_lanes(f, mu, nc, nl):
+    """Cone projection in the lane-major grouped layout: f (ne, BLK) with
+    rows [fn(nc) | ft1(nc) | ft2(nc) | limits(nl)], mu (nc, BLK).  All ops
+    are (sublane, lane) tiles — the layout the VPU vectorizes natively."""
+    fn = f[:nc]
+    f1 = f[nc: 2 * nc]
+    f2 = f[2 * nc: 3 * nc]
+    t = jnp.sqrt(f1 * f1 + f2 * f2 + 1e-20)
+    inside = t <= mu * fn
+    below = mu * t <= -fn
+    fn_p = jnp.maximum((fn + mu * t) / (1.0 + mu * mu), 0.0)
+    scale = jnp.where(t > 1e-12, mu * fn_p / jnp.maximum(t, 1e-12), 0.0)
+    fn_out = jnp.where(inside, jnp.maximum(fn, 0.0), fn_p)
+    f1_out = jnp.where(inside, f1, f1 * scale)
+    f2_out = jnp.where(inside, f2, f2 * scale)
+    zero = jnp.zeros_like(fn)
+    fn_out = jnp.where(below, zero, fn_out)
+    f1_out = jnp.where(below, zero, f1_out)
+    f2_out = jnp.where(below, zero, f2_out)
+    fl = jnp.maximum(f[3 * nc:], 0.0)
+    return jnp.concatenate([fn_out, f1_out, f2_out, fl], axis=0)
+
+
+def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
+    """Lane-major APGD block: env batch in the 128-lane axis.
+
+    a: (ne, ne, BLK), b: (ne, BLK), mu: (nc, BLK).  The per-env matvec
+    g[i, e] = Σ_j a[i, j, e]·y[j, e] becomes a broadcast-multiply +
+    sublane reduction of (ne, BLK) tiles — fully vectorized on the VPU,
+    with A resident in VMEM across all iterations (read from HBM once per
+    solve instead of once per iteration)."""
+    a = a_ref[:]
+    b = b_ref[:]
+    mu = mu_ref[:]
+    lip = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=0)      # (BLK,)
+    step = (1.0 / jnp.maximum(lip, 1e-8))[None, :]           # (1, BLK)
+
+    def body(i, carry):
+        f, y, t = carry
+        g = jnp.sum(a * y[None, :, :], axis=1) + b           # (ne, BLK)
+        f_new = _project_lanes(y - step * g, mu, nc, nl)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
+        return f_new, y_new, t_new
+
+    f0 = jnp.zeros_like(b)
+    f, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (f0, f0, jnp.asarray(1.0, jnp.float32)))
+    f_ref[:] = f
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "nc", "nl",
+                                             "block", "interpret"))
+def apgd_solve_lanes(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
+                     iterations: int, nc: int, nl: int, block: int = 128,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Batched APGD in lane-major grouped layout: a (ne, ne, B), b (ne, B),
+    mu (nc, B) → f (ne, B).  B must be a multiple of ``block``."""
+    ne = a.shape[0]
+    B = a.shape[-1]
+    assert B % block == 0, f"batch {B} not divisible by block {block}"
+    grid = (B // block,)
+    kernel = functools.partial(_apgd_kernel_lanes, iterations=iterations,
+                               nc=nc, nl=nl)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ne, B), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ne, ne, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ne, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ne, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, b, mu)
+
+
 def _apgd_scan(a, b, mu, *, iterations, nc, nl):
     """Per-env reference implementation (XLA scan) — also the grad-safe and
     CPU path.  Takes the INTERLEAVED [n,t1,t2]-triple layout and permutes to
@@ -120,10 +202,23 @@ def _apgd_scan(a, b, mu, *, iterations, nc, nl):
 
 @functools.lru_cache(maxsize=None)
 def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
-              block: int = 8, interpret: bool = False):
+              block: int = 0, interpret: bool = False,
+              layout: str | None = None):
     """Per-env APGD solve ``(a (ne,ne), b (ne), mu (nc)) → f (ne)`` whose
-    vmap dispatches to the batched Pallas kernel (when ``use_pallas``)."""
+    vmap dispatches to the batched Pallas kernel (when ``use_pallas``).
+
+    ``layout``: 'lanes' (default) = env batch in the 128-lane axis — the
+    matvec vectorizes as (sublane, lane) VPU tiles with A VMEM-resident;
+    'blocks' = the r1 kernel (envs in the leading axis, batched
+    dot_general).  Override with DMTPU_PALLAS_LAYOUT."""
+    import os
+
     from jax.custom_batching import custom_vmap
+
+    if layout is None:
+        layout = os.environ.get("DMTPU_PALLAS_LAYOUT", "lanes")
+    if not block:
+        block = 128 if layout == "lanes" else 8
 
     scan_impl = functools.partial(_apgd_scan, iterations=iterations,
                                   nc=nc, nl=nl)
@@ -147,6 +242,12 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
         perm, inv = _group_perm(nc, nl)
         a = a[:, perm][:, :, perm]
         b = b[:, perm]
+        if layout == "lanes":
+            out = apgd_solve_lanes(
+                jnp.transpose(a, (1, 2, 0)), b.T, mu.T,
+                iterations=iterations, nc=nc, nl=nl, block=block,
+                interpret=interpret)
+            return out.T[:B, inv], True
         out = apgd_solve(a, b, mu, iterations=iterations, nc=nc, nl=nl,
                          block=block, interpret=interpret)
         return out[:B, inv], True

@@ -63,6 +63,38 @@ class TestAPGD:
                                                nc=nc, nl=nl))(A, b, mu)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    def test_lanes_kernel_matches_scan(self):
+        """The lane-major kernel (env batch in the 128-lane axis) computes
+        the same iterates as the per-env scan."""
+        rng = np.random.RandomState(4)
+        nc, nl, B = 4, 5, 8
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        scan_out = jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=60,
+                                               nc=nc, nl=nl))(A, b, mu)
+        perm, inv = apgd._group_perm(nc, nl)
+        Ag = A[:, perm][:, :, perm]
+        out = apgd.apgd_solve_lanes(
+            jnp.transpose(Ag, (1, 2, 0)), b[:, perm].T, mu.T,
+            iterations=60, nc=nc, nl=nl, block=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out.T[:, inv]),
+                                   np.asarray(scan_out), atol=1e-4)
+
+    def test_lanes_dispatch_with_padding(self):
+        """make_apgd layout='lanes' pads B to the block multiple, transposes
+        to lane-major and recovers the interleaved layout."""
+        rng = np.random.RandomState(5)
+        nc, nl, B = 3, 2, 5
+        A, b, mu = _random_problem(rng, B, nc, nl)
+        fn = apgd.make_apgd(40, nc, nl, use_pallas=True, block=4,
+                            interpret=True, layout="lanes")
+        out = jax.vmap(fn)(A, b, mu)
+        ref = jax.vmap(
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+                                               nc=nc, nl=nl))(A, b, mu)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
     def test_solution_satisfies_cone(self):
         rng = np.random.RandomState(3)
         nc, nl, B = 4, 3, 4
