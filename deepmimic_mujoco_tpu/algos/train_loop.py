@@ -28,7 +28,11 @@ def train(
     save_per_iter: int = 100,
     resume_from: Optional[str] = None,
     verbose: bool = True,
+    override_logstd: Optional[float] = None,
 ) -> TRPOState:
+    """``override_logstd``: set the (fixed) exploration logstd AFTER loading
+    a resume checkpoint — the checkpointed value would otherwise win, which
+    makes noise-annealing polish phases impossible."""
     assert (max_timesteps > 0) ^ (max_iters > 0), \
         "specify exactly one of max_timesteps / max_iters (trpo.py:202)"
 
@@ -41,6 +45,15 @@ def train(
     state = learner.init(jax.random.PRNGKey(seed))
     if resume_from is not None:
         state = checkpoint.load(resume_from, state)
+    if override_logstd is not None:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        params = dict(state.params)
+        params["logstd"] = jnp.full_like(params["logstd"],
+                                         float(override_logstd))
+        state = dataclasses.replace(state, params=params)
 
     lenbuffer: deque = deque(maxlen=40)
     rewbuffer: deque = deque(maxlen=40)

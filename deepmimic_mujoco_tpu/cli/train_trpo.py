@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fixed-logstd", type=float, default=None,
                    help="freeze exploration noise at this logstd "
                         "(DeepMimic-style fixed noise, e.g. -1.6 ~ std 0.2)")
+    p.add_argument("--override-logstd", type=float, default=None,
+                   help="set the logstd AFTER loading --pretrained-weight-"
+                        "path (noise-annealing polish phases; the "
+                        "checkpointed value wins otherwise)")
     # infra
     p.add_argument("--save-per-iter", type=int, default=100)
     p.add_argument("--checkpoint-dir", default="checkpoint_tmp")
@@ -204,6 +208,7 @@ def main(argv=None) -> None:
             log_dir=os.path.join(args.log_dir, name),
             save_per_iter=args.save_per_iter,
             resume_from=args.pretrained_weight_path,
+            override_logstd=args.override_logstd,
         )
     else:
         state = learner.init(jax.random.PRNGKey(args.seed))

@@ -197,6 +197,27 @@ class TestTRPOSmoke:
         lens = {int(float(r["l"])) for r in rows}
         assert lens == {3}, lens
 
+    def test_resume_override_logstd(self, tmp_path):
+        """Noise-annealing polish: --override-logstd replaces the
+        checkpointed exploration noise after resume."""
+        from deepmimic_mujoco_tpu.algos.train_loop import train
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        env = DPEnvV3(clip="walk", max_episode_steps=3)
+        policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=28,
+                           fixed_logstd=-3.0)
+        cfg = TRPOConfig(horizon=4, num_envs=2, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=4, line_search_steps=2)
+        learner = TRPO(env, policy, cfg)
+        ckpt = str(tmp_path / "ck")
+        train(learner, seed=0, max_iters=1, ckpt_dir=ckpt, verbose=False)
+        state = train(learner, seed=0, max_iters=1, verbose=False,
+                      resume_from=f"{ckpt}/trpo_state.npz",
+                      override_logstd=-4.0)
+        np.testing.assert_allclose(np.asarray(state.params["logstd"]), -4.0)
+
     def test_evaluate_export_depadded(self, tmp_path):
         """Saved trajectories contain no frozen post-done rows: each
         episode's arrays are exactly its true length."""
