@@ -236,4 +236,15 @@ class RLAgentDriver:
             return carry[2], carry[3]
 
         ret, length = run(state)
-        return float(jnp.mean(ret)), float(jnp.mean(length))
+        ret_sum = float(jnp.sum(ret))
+        len_sum = float(jnp.sum(length))
+        count = float(n_episodes)
+        if jax.process_count() > 1:
+            # distributed episode accounting: sum counts/returns across
+            # hosts before averaging (rl_agent.py:521-584 reduce_sum)
+            from jax.experimental import multihost_utils
+
+            totals = multihost_utils.process_allgather(
+                jnp.asarray([ret_sum, len_sum, count]))
+            ret_sum, len_sum, count = (float(x) for x in totals.sum(axis=0))
+        return ret_sum / count, len_sum / count
