@@ -307,6 +307,21 @@ class TestDeepMimicSurface:
         assert 0.3 < float(s1.reward) <= 1.0
         assert not bool(s1.done)
 
+    def test_trpo_trains_on_surface(self, env):
+        """The 197-D/36-D surface is a regular functional env — TRPO can
+        train on it directly (not just the dp_policy PPO stack)."""
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size, fixed_logstd=-2.0)
+        cfg = TRPOConfig(horizon=4, num_envs=2, g_step=1, cg_iters=2,
+                         vf_iters=1, vf_batch_size=4, line_search_steps=2,
+                         reset_mode="rsi")
+        learner = TRPO(env, policy, cfg)
+        state, stats = learner.iteration(learner.init(jax.random.PRNGKey(0)))
+        assert np.isfinite(float(stats.meankl))
+
     def test_fall_contact_terminates(self, env):
         """Dropping the character on its chest triggers the fall-contact
         termination (original --fall_contact_bodies)."""
