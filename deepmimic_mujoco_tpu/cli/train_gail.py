@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adversary-entcoeff", type=float, default=1e-3)
     p.add_argument("--adversary-hidden-size", type=int, default=100)
     p.add_argument("--d-stepsize", type=float, default=3e-4)
+    p.add_argument("--d-exact", type=int, default=1,
+                   help="1 = reference d-step semantics (sequential sweep "
+                        "of the whole policy batch + expert cursor, "
+                        "gail.py:329-343); 0 = r1 random subsamples")
     p.add_argument("--pretrained", action="store_true",
                    help="behavior-cloning pretraining (gail.py:491-495)")
     p.add_argument("--bc-max-iters", type=int, default=10_000)
@@ -70,6 +74,7 @@ def main(argv=None) -> None:
             entcoeff=args.policy_entcoeff,
         ),
         d_step=args.d_step, d_stepsize=args.d_stepsize,
+        d_exact=bool(args.d_exact),
     )
     learner = GAIL(
         env, policy, dset.obs, dset.acs, cfg,
