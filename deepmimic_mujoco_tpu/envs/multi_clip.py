@@ -10,7 +10,7 @@ and vmap-safe, so a single jitted TRPO/PPO program trains all skills at once
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,11 @@ class DPEnvV3Multi:
                  n_substeps: int = 2,
                  max_episode_steps: int = 300,
                  reward_mode: str = "imitation_dm",
-                 obs_mode: str = "full"):
+                 obs_mode: str = "full",
+                 clip_weights: Optional[Sequence[float]] = None):
+        """``clip_weights``: RSI skill-sampling probabilities (uniform when
+        None) — up-weight hard skills so they aren't starved by easy ones in
+        the shared batch."""
         self.model = model if model is not None else build_humanoid()
         self.clip_names = list(clips)
         loaded = [load_clip(c) for c in clips]
@@ -76,6 +80,13 @@ class DPEnvV3Multi:
         self.obs_mode = obs_mode
         self.observation_size = (K + 1 + (11 if obs_mode == "full" else 0)
                                  + (nq - 7) + (nv - 6))
+        if clip_weights is None:
+            w = np.full(K, 1.0 / K, np.float32)
+        else:
+            w = np.asarray(clip_weights, np.float32)
+            assert w.shape == (K,) and (w >= 0).all() and w.sum() > 0
+            w = w / w.sum()
+        self.clip_weights = jnp.asarray(w)
 
         from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
 
@@ -130,9 +141,10 @@ class DPEnvV3Multi:
         )
 
     def reset(self, key: jax.Array) -> EnvState:
-        """RSI over a uniformly random (clip, frame)."""
+        """RSI over a random (clip, frame); skills drawn by clip_weights."""
         k_c, k_i, key = jax.random.split(key, 3)
-        clip_id = jax.random.randint(k_c, (), 0, self.num_clips)
+        clip_id = jax.random.choice(k_c, self.num_clips, (),
+                                    p=self.clip_weights)
         idx = jax.random.randint(
             k_i, (), 0, 1 << 30) % self.clip_lens[clip_id]
         return self._state(self.clip_qpos[clip_id, idx],
