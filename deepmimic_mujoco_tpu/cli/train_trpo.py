@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="physics substeps per control step (2 -> 30 Hz "
                         "control, matching the clip rate)")
     p.add_argument("--max-episode-steps", type=int, default=0)
+    p.add_argument("--clip-weights", default=None,
+                   help="multi-clip only: comma list of RSI sampling "
+                        "weights per clip, e.g. 1,1,2 to up-weight a hard "
+                        "skill")
     p.add_argument("--eval-reset", default="rsi", choices=["rsi", "noise"],
                    help="episode starts for evaluate/sample: rsi = random "
                         "mocap frame (reference runner semantics), noise = "
@@ -155,6 +159,9 @@ def main(argv=None) -> None:
             n_substeps=max(args.n_substeps, 2),
             max_episode_steps=args.max_episode_steps or 300,
             obs_mode=args.obs_mode or "full",
+            clip_weights=(tuple(float(w) for w in
+                                args.clip_weights.split(","))
+                          if args.clip_weights else None),
         )
     else:
         env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2,
