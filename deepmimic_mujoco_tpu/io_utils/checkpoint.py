@@ -39,15 +39,34 @@ def load(path: str, like: Any) -> Any:
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
         saved_treedef = bytes(z["__treedef__"]).decode()
     treedef = jax.tree.structure(like)
-    if saved_treedef != str(treedef):
-        raise ValueError(
-            f"checkpoint structure mismatch for {path!r}:\n"
-            f"  saved:    {saved_treedef[:200]}...\n"
-            f"  expected: {str(treedef)[:200]}...\n"
-            "The checkpoint was written by a different model/optimizer "
-            "configuration.")
     if len(leaves) != treedef.num_leaves:
         raise ValueError(
             f"checkpoint {path!r} has {len(leaves)} leaves, expected "
-            f"{treedef.num_leaves}")
+            f"{treedef.num_leaves} — written by a different "
+            "model/optimizer configuration")
+    if saved_treedef != str(treedef):
+        # structure drift: tolerate it only when every leaf shape still
+        # lines up (e.g. a later-added leafless None field); a same-count
+        # different-shape checkpoint would silently mis-map leaves
+        like_leaves = jax.tree.leaves(like)
+        bad = [
+            (i, np.shape(s), np.shape(l))
+            for i, (s, l) in enumerate(zip(leaves, like_leaves))
+            if np.shape(s) != np.shape(l)
+        ]
+        if bad:
+            i, ss, ls = bad[0]
+            raise ValueError(
+                f"checkpoint structure mismatch for {path!r} (leaf {i}: "
+                f"saved shape {ss} vs expected {ls}):\n"
+                f"  saved:    {saved_treedef[:200]}...\n"
+                f"  expected: {str(treedef)[:200]}...\n"
+                "The checkpoint was written by a different model/optimizer "
+                "configuration.")
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path!r} has a different pytree structure but "
+            "identical leaf shapes; loading positionally (likely written "
+            "by an older field layout)")
     return jax.tree.unflatten(treedef, leaves)

@@ -114,9 +114,9 @@ class TestCheckpoint:
             np.asarray(loaded["b"]["c"]), np.asarray(tree["b"]["c"]))
 
     def test_structure_mismatch_raises(self, tmp_path):
-        """A stale checkpoint with a different pytree structure must raise
-        instead of silently mis-mapping leaves (the stored __treedef__ is
-        validated against `like`)."""
+        """A stale checkpoint whose leaves would mis-map (same count,
+        different shapes under a different structure) must raise; the stored
+        __treedef__ is validated against `like`."""
         import pytest
 
         from deepmimic_mujoco_tpu.io_utils import checkpoint
@@ -124,10 +124,30 @@ class TestCheckpoint:
         tree = {"a": jnp.arange(3.0), "b": jnp.ones(2)}
         p = str(tmp_path / "ckpt")
         checkpoint.save(p, tree)
-        # same leaf count, different structure/keys
-        like = {"x": jnp.zeros(3), "y": jnp.zeros(2)}
+        # same leaf count, different structure AND different leaf shapes
+        like = {"x": jnp.zeros(2), "y": jnp.zeros(3)}
         with pytest.raises(ValueError, match="structure mismatch"):
             checkpoint.load(p, like)
+        # different leaf count always raises
+        with pytest.raises(ValueError, match="leaves"):
+            checkpoint.load(p, {"x": jnp.zeros(3)})
+
+    def test_structure_drift_with_same_shapes_warns(self, tmp_path):
+        """Benign structure drift (e.g. a later-added leafless None field)
+        loads positionally with a warning — keeps old-round checkpoints
+        usable."""
+        import pytest
+
+        from deepmimic_mujoco_tpu.io_utils import checkpoint
+
+        tree = {"a": jnp.arange(3.0), "b": jnp.ones(2)}
+        p = str(tmp_path / "ckpt")
+        checkpoint.save(p, tree)
+        like = {"a": jnp.zeros(3), "b": jnp.zeros(2), "c": None}
+        with pytest.warns(UserWarning, match="different pytree structure"):
+            out = checkpoint.load(p, like)
+        np.testing.assert_array_equal(np.asarray(out["a"]),
+                                      np.arange(3.0))
 
 
 class TestDatasets:
