@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="physics substeps per control step (2 -> 30 Hz "
                         "control, matching the clip rate)")
     p.add_argument("--max-episode-steps", type=int, default=0)
+    p.add_argument("--termination", default=None,
+                   choices=["com", "fall_contact"],
+                   help="episode termination: com = reference CoM-height "
+                        "bounds (standup rule); fall_contact = original "
+                        "DeepMimic fall-contact rule (default for "
+                        "imitation rewards)")
     p.add_argument("--clip-weights", default=None,
                    help="multi-clip only: comma list of RSI sampling "
                         "weights per clip, e.g. 1,1,2 to up-weight a hard "
@@ -159,6 +165,7 @@ def main(argv=None) -> None:
             n_substeps=max(args.n_substeps, 2),
             max_episode_steps=args.max_episode_steps or 300,
             obs_mode=args.obs_mode or "full",
+            termination=args.termination or "fall_contact",
             clip_weights=(tuple(float(w) for w in
                                 args.clip_weights.split(","))
                           if args.clip_weights else None),
@@ -172,7 +179,7 @@ def main(argv=None) -> None:
                 reward_mode=args.reward_mode, dynamics=args.dynamics,
                 control_mode=args.control_mode, n_substeps=args.n_substeps,
                 max_episode_steps=args.max_episode_steps,
-                obs_mode=args.obs_mode)
+                obs_mode=args.obs_mode, termination=args.termination)
         env = env_cls(**env_kwargs)
 
     hidden_sizes = (tuple(int(h) for h in args.hidden_sizes.split(","))

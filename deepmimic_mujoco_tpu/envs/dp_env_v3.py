@@ -77,6 +77,7 @@ class DPEnvV3:
         include_phase: Optional[bool] = None,
         max_episode_steps: int = 0,
         obs_mode: Optional[str] = None,
+        termination: Optional[str] = None,
     ):
         """``control_mode``: 'torque' (reference v3 — actions are motor ctrl
         through gear/ctrlrange) or 'pd' (DeepMimic-proper — actions are joint
@@ -95,7 +96,16 @@ class DPEnvV3:
         core, matching the information content of the original 197-D
         ``record_state`` (mujoco/mujoco_env.py:91-124) in compact form.
         Defaults to 'full' for the imitation reward modes, 'legacy'
-        otherwise."""
+        otherwise.
+
+        ``termination``: 'com' = the reference's whole-body CoM height
+        bounds (0.7, 2.0) (dp_env_v3.py:134-139 — a standup-task rule:
+        spinkick's crouch passes 0.75 and backflip/cartwheel legitimately
+        dip BELOW 0.7, so it kills valid acrobatic tracking);
+        'fall_contact' = the original DeepMimic rule — episode ends when a
+        non-allowed body touches the floor (--fall_contact_bodies in every
+        arg file).  Defaults to 'fall_contact' for the imitation reward
+        modes, 'com' otherwise."""
         self.model = model if model is not None else build_humanoid()
         self.control_mode = control_mode
         if include_phase is None:
@@ -109,6 +119,28 @@ class DPEnvV3:
         self.obs_mode = obs_mode
         core = 56 + (11 if obs_mode == "full" else 0)
         self.observation_size = core + (1 if include_phase else 0)
+        if termination is None:
+            termination = ("fall_contact"
+                           if reward_mode in ("imitation", "imitation_dm")
+                           else "com")
+        if termination not in ("com", "fall_contact"):
+            raise ValueError(f"unknown termination {termination!r}")
+        self.termination = termination
+        if termination == "fall_contact":
+            from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+                load_fall_contact_bodies,
+            )
+            from deepmimic_mujoco_tpu.mocap.constants import BODY_DEFS
+
+            clip_name = clip if isinstance(clip, str) else "walk"
+            disallowed = np.zeros(self.model.nbody, bool)
+            for i in load_fall_contact_bodies(clip_name):
+                name = BODY_DEFS[i]
+                disallowed[self.model.body_index(
+                    name.replace("wrist", "elbow")
+                    if name.endswith("wrist") else name)] = True
+            self._fall_cand = jnp.asarray(
+                disallowed[np.asarray(self.model.cand_body)])
         self.max_episode_steps = max_episode_steps
         if control_mode in ("pd", "pd_residual"):
             from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
@@ -246,7 +278,13 @@ class DPEnvV3:
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
-        done = (com[2] < 0.7) | (com[2] > 2.0)
+        if self.termination == "fall_contact":
+            from deepmimic_mujoco_tpu.physics import collision
+
+            contacts = collision.floor_contacts(self.model, kin)
+            done = jnp.any(contacts.active & self._fall_cand)
+        else:
+            done = (com[2] < 0.7) | (com[2] > 2.0)
         if self.max_episode_steps:
             done = done | (state.step_count + 1 >= self.max_episode_steps)
 

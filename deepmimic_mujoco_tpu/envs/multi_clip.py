@@ -37,10 +37,13 @@ class DPEnvV3Multi:
                  max_episode_steps: int = 300,
                  reward_mode: str = "imitation_dm",
                  obs_mode: str = "full",
-                 clip_weights: Optional[Sequence[float]] = None):
+                 clip_weights: Optional[Sequence[float]] = None,
+                 termination: str = "fall_contact"):
         """``clip_weights``: RSI skill-sampling probabilities (uniform when
         None) — up-weight hard skills so they aren't starved by easy ones in
-        the shared batch."""
+        the shared batch.  ``termination``: 'fall_contact' (original
+        DeepMimic rule, default — the reference's CoM bound kills valid
+        acrobatic clips, see DPEnvV3) or 'com'."""
         self.model = model if model is not None else build_humanoid()
         self.clip_names = list(clips)
         loaded = [load_clip(c) for c in clips]
@@ -87,6 +90,22 @@ class DPEnvV3Multi:
             assert w.shape == (K,) and (w >= 0).all() and w.sum() > 0
             w = w / w.sum()
         self.clip_weights = jnp.asarray(w)
+        assert termination in ("com", "fall_contact")
+        self.termination = termination
+        if termination == "fall_contact":
+            from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+                load_fall_contact_bodies,
+            )
+            from deepmimic_mujoco_tpu.mocap.constants import BODY_DEFS
+
+            disallowed = np.zeros(self.model.nbody, bool)
+            for i in load_fall_contact_bodies(self.clip_names[0]):
+                name = BODY_DEFS[i]
+                disallowed[self.model.body_index(
+                    name.replace("wrist", "elbow")
+                    if name.endswith("wrist") else name)] = True
+            self._fall_cand = jnp.asarray(
+                disallowed[np.asarray(self.model.cand_body)])
 
         from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
 
@@ -172,7 +191,13 @@ class DPEnvV3Multi:
 
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)
-        done = (com[2] < 0.7) | (com[2] > 2.0)
+        if self.termination == "fall_contact":
+            from deepmimic_mujoco_tpu.physics import collision
+
+            contacts = collision.floor_contacts(self.model, kin)
+            done = jnp.any(contacts.active & self._fall_cand)
+        else:
+            done = (com[2] < 0.7) | (com[2] > 2.0)
         if self.max_episode_steps:
             done = done | (state.step_count + 1 >= self.max_episode_steps)
 

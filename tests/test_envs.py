@@ -189,6 +189,40 @@ class TestPDControlAndImitation:
                              obs_mode="legacy")
         assert env_legacy.observation_size == 57
 
+    def test_termination_defaults(self):
+        """Imitation modes default to the original fall-contact rule; the
+        standup task keeps the reference's CoM bounds.  The CoM rule kills
+        valid acrobatics: backflip/cartwheel clips legitimately dip below
+        z=0.7 and spinkick's crouch passes at 0.752."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        assert DPEnvV3(clip="walk").termination == "com"
+        env = DPEnvV3(clip="spinkick", reward_mode="imitation_dm",
+                      control_mode="pd_residual", n_substeps=2)
+        assert env.termination == "fall_contact"
+
+    def test_fall_contact_term_behaviour(self):
+        import dataclasses
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="walk", reward_mode="imitation_dm",
+                      control_mode="pd_residual", n_substeps=2)
+        # standing start: no fall
+        s = env.reset_at(jax.random.PRNGKey(0), 0)
+        s1 = jax.jit(env.step)(s, jnp.zeros(28))
+        assert not bool(s1.done)
+        # chest-down on the floor: disallowed contact → done
+        qpos = s.qpos.at[2].set(0.2).at[3:7].set(
+            jnp.asarray([0.7071, 0.0, 0.7071, 0.0]))
+        s = dataclasses.replace(s, qpos=qpos)
+        step = jax.jit(env.step)
+        done = False
+        for _ in range(10):
+            s = step(s, jnp.zeros(28))
+            done = done or bool(s.done)
+        assert done
+
     def test_full_obs_heading_invariant(self):
         """The root features of the 'full' obs must be invariant to yaw and
         to x-y translation (heading normalization)."""
