@@ -26,6 +26,8 @@ def main() -> None:
     p.add_argument("--horizon", type=int, default=300)
     p.add_argument("--platform", default=None)
     p.add_argument("--obs-mode", default=None, choices=["legacy", "full"])
+    p.add_argument("--termination", default=None,
+                   choices=["com", "fall_contact"])
     p.add_argument("--hidden-sizes", default=None,
                    help="comma list, e.g. 1024,512 (must match the ckpt)")
     p.add_argument("--activation", default="tanh", choices=["tanh", "relu"])
@@ -48,7 +50,8 @@ def main() -> None:
 
     env = DPEnvV3(clip=args.motion, reward_mode=args.reward_mode,
                   control_mode=args.control_mode, n_substeps=2,
-                  max_episode_steps=args.horizon, obs_mode=args.obs_mode)
+                  max_episode_steps=args.horizon, obs_mode=args.obs_mode,
+                  termination=args.termination)
     hidden_sizes = (tuple(int(h) for h in args.hidden_sizes.split(","))
                     if args.hidden_sizes else None)
     policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size,
