@@ -189,6 +189,10 @@ class DeepMimicSurfaceEnv:
         self.cycle_offset = jnp.asarray(off, jnp.float32)
         self.reward_mode = reward_mode
         self.n_substeps = n_substeps
+        # frames advanced per control step (clips are 16-60 fps; see
+        # DPEnvV3._clip_index)
+        self.cursor_scale = float((max(n_substeps, 1) * self.model.dt)
+                                  / clip.dt)
         self.max_episode_steps = max_episode_steps
         self.write_phase = write_phase
         self.quirk_lateral = quirk_lateral
@@ -258,14 +262,23 @@ class DeepMimicSurfaceEnv:
         return 10 * np.ones(self.action_size)
 
     # ------------------------------------------------------------------
-    def _clip_index(self, mocap_idx):
+    def _clip_index(self, mocap_idx, init_idx=0):
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.cursor_scale)
         if self.clip_wraps:
-            return (mocap_idx % self.clip_len,
-                    (mocap_idx // self.clip_len).astype(jnp.float32))
-        return (jnp.minimum(mocap_idx, self.clip_len - 1),
+            idx = jnp.round(pos).astype(jnp.int32) % self.clip_len
+            return idx, jnp.floor(pos / self.clip_len)
+        return (jnp.minimum(jnp.round(pos).astype(jnp.int32),
+                            self.clip_len - 1),
                 jnp.zeros((), jnp.float32))
 
-    def record_state(self, qpos, qvel, mocap_idx, kin=None) -> jnp.ndarray:
+    def _clip_over(self, mocap_idx, init_idx):
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.cursor_scale)
+        return pos >= self.clip_len - 1
+
+    def record_state(self, qpos, qvel, mocap_idx, kin=None,
+                     init_idx=0) -> jnp.ndarray:
         """The 197-D state (mujoco_env.py:91-124), pure JAX."""
         if kin is None:
             kin = kinematics.fk(self.model, qpos)
@@ -280,7 +293,7 @@ class DeepMimicSurfaceEnv:
             [omega, v_com], axis=1)[self._bodydef_body]
 
         root = pos[0]
-        idx, _ = self._clip_index(mocap_idx)
+        idx, _ = self._clip_index(mocap_idx, init_idx)
         phase = (idx.astype(jnp.float32) / self.clip_len
                  if self.write_phase else jnp.zeros((), jnp.float32))
         coord = root[1] if self.quirk_lateral else root[2]
@@ -292,7 +305,8 @@ class DeepMimicSurfaceEnv:
     def _state(self, qpos, qvel, key, init_idx, mocap_idx):
         return EnvState(
             qpos=qpos, qvel=qvel,
-            obs=self.record_state(qpos, qvel, mocap_idx),
+            obs=self.record_state(qpos, qvel, mocap_idx,
+                                  init_idx=init_idx),
             reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
             mocap_idx=mocap_idx, init_idx=init_idx,
             step_count=jnp.zeros((), jnp.int32), key=key,
@@ -329,7 +343,7 @@ class DeepMimicSurfaceEnv:
             done = done | (state.step_count + 1 >= self.max_episode_steps)
 
         mocap_idx = state.mocap_idx + 1
-        idx, cycles = self._clip_index(mocap_idx)
+        idx, cycles = self._clip_index(mocap_idx, state.init_idx)
         if self.reward_mode == "imitation_dm":
             offset = cycles * self.cycle_offset
             ref_qp = self.clip_qpos[idx].at[0:3].add(offset)
@@ -346,11 +360,12 @@ class DeepMimicSurfaceEnv:
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
         if not self.clip_wraps:
-            done = done | (mocap_idx >= self.clip_len - 1)
+            done = done | self._clip_over(mocap_idx, state.init_idx)
 
         return EnvState(
             qpos=qpos, qvel=qvel,
-            obs=self.record_state(qpos, qvel, mocap_idx, kin),
+            obs=self.record_state(qpos, qvel, mocap_idx, kin,
+                                  init_idx=state.init_idx),
             reward=reward, done=done,
             mocap_idx=mocap_idx, init_idx=state.init_idx,
             step_count=state.step_count + 1, key=state.key,

@@ -177,6 +177,10 @@ class DPEnvV3:
             clip = load_clip(clip)
         self.clip = clip
         self.clip_len = len(clip)
+        # frames advanced per control step (clips are 16-60 fps; control
+        # runs at n_substeps·dt) — see _clip_index
+        self.cursor_scale = float((max(n_substeps, 1) * self.model.dt)
+                                  / clip.dt)
         self.clip_qpos = jnp.asarray(clip.qpos, jnp.float32)
         self.clip_qvel = jnp.asarray(clip.qvel, jnp.float32)
         self.reward_mode = reward_mode
@@ -213,30 +217,49 @@ class DPEnvV3:
             self.clip_com_vel = com_vel  # (T, 3)
 
     # ------------------------------------------------------------------
-    def _clip_index(self, mocap_idx):
+    def _clip_index(self, mocap_idx, init_idx=0):
         """(frame index, completed cycles) for an unbounded cursor: looping
         clips wrap (per-cycle root re-basing — reference mocap_v2.play
         phase_offset, mocap_v2.py:168-182); non-looping clips clamp at the
-        final frame."""
-        if self.clip_wraps:
-            return (mocap_idx % self.clip_len,
-                    (mocap_idx // self.clip_len).astype(jnp.float32))
-        return (jnp.minimum(mocap_idx, self.clip_len - 1),
-                jnp.zeros((), jnp.float32))
+        final frame.
 
-    def _obs(self, qpos, qvel, mocap_idx):
+        The cursor counts CONTROL steps since the episode started at frame
+        ``init_idx``; clips are not all 30 fps (walk/run 30, spinkick/
+        cartwheel/dance 60, backflip 16, spin 24), so the frame position is
+        init + elapsed·(control_dt / clip_dt).  Advancing one frame per
+        control step — the reference's habit (dp_env_v3.py:101-102) — plays
+        a 60 fps clip at half speed with velocity targets 2× inconsistent
+        with the pose targets."""
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.cursor_scale)
+        if self.clip_wraps:
+            idx = jnp.round(pos).astype(jnp.int32) % self.clip_len
+            return idx, jnp.floor(pos / self.clip_len)
+        idx = jnp.minimum(jnp.round(pos).astype(jnp.int32),
+                          self.clip_len - 1)
+        return idx, jnp.zeros((), jnp.float32)
+
+    def _clip_over(self, mocap_idx, init_idx):
+        """Non-looping clips: the motion ends when the frame position
+        reaches the final frame."""
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.cursor_scale)
+        return pos >= self.clip_len - 1
+
+    def _obs(self, qpos, qvel, mocap_idx, init_idx=0):
         core = jnp.concatenate([qpos[7:], qvel[6:]])
         if self.obs_mode == "full":
             core = jnp.concatenate([root_obs(qpos, qvel), core])
         if not self.include_phase:
             return core
-        idx, _ = self._clip_index(mocap_idx)
+        idx, _ = self._clip_index(mocap_idx, init_idx)
         phase = idx.astype(jnp.float32) / self.clip_len
         return jnp.concatenate([phase[None], core])
 
     def _state(self, qpos, qvel, key, init_idx, mocap_idx):
         return EnvState(
-            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel, mocap_idx),
+            qpos=qpos, qvel=qvel,
+            obs=self._obs(qpos, qvel, mocap_idx, init_idx),
             reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
             mocap_idx=mocap_idx, init_idx=init_idx,
             step_count=jnp.zeros((), jnp.int32), key=key,
@@ -273,7 +296,8 @@ class DPEnvV3:
             # control step (the advanced cursor) — targeting the current
             # frame leaves a permanent one-frame lag in the feed-forward
             imit = self.reward_mode in ("imitation", "imitation_dm")
-            ref_idx, _ = self._clip_index(state.mocap_idx + (1 if imit else 0))
+            ref_idx, _ = self._clip_index(
+                state.mocap_idx + (1 if imit else 0), state.init_idx)
             action = self.clip_qpos[ref_idx][7:] + action
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
@@ -304,7 +328,7 @@ class DPEnvV3:
             # penalizes a perfect tracker by one frame and makes the pose and
             # velocity targets mutually inconsistent.)
             mocap_idx = mocap_idx + 1
-            idx, cycles = self._clip_index(mocap_idx)
+            idx, cycles = self._clip_index(mocap_idx, state.init_idx)
             offset = cycles * self.cycle_offset  # root re-basing per cycle
             ref_qp = self.clip_qpos[idx]
             ref_qv = self.clip_qvel[idx]
@@ -318,7 +342,7 @@ class DPEnvV3:
             if not self.clip_wraps:
                 # the motion is over → episode ends (original DeepMimic ends
                 # non-looping imitation episodes at the clip end)
-                done = done | (mocap_idx >= self.clip_len - 1)
+                done = done | self._clip_over(mocap_idx, state.init_idx)
         elif self.reward_mode == "imitation_dm":
             # the ORIGINAL DeepMimic reward (rewards.deepmimic_reward):
             # squared errors, heading-normalized relative end effectors,
@@ -326,7 +350,7 @@ class DPEnvV3:
             # root x-y offset except root position, which is re-based.
             # Cursor advances first (see the 'imitation' branch).
             mocap_idx = mocap_idx + 1
-            idx, cycles = self._clip_index(mocap_idx)
+            idx, cycles = self._clip_index(mocap_idx, state.init_idx)
             offset = cycles * self.cycle_offset
             ref_qp = self.clip_qpos[idx].at[0:3].add(offset)
             ref_qv = self.clip_qvel[idx]
@@ -338,7 +362,7 @@ class DPEnvV3:
                 com_vel=com_vel, ref_com_vel=self.clip_com_vel[idx],
             )
             if not self.clip_wraps:
-                done = done | (mocap_idx >= self.clip_len - 1)
+                done = done | self._clip_over(mocap_idx, state.init_idx)
         else:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 

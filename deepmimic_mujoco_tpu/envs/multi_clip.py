@@ -70,6 +70,10 @@ class DPEnvV3Multi:
                 off[2] = 0.0
                 cyc_off[k] = off
         self.num_clips = K
+        # frames advanced per control step per clip (clips are 16-60 fps)
+        control_dt = max(n_substeps, 1) * self.model.dt
+        self.clip_scales = jnp.asarray(
+            [control_dt / c.dt for c in loaded], jnp.float32)
         self.clip_qpos = jnp.asarray(qpos)
         self.clip_qvel = jnp.asarray(qvel)
         self.clip_lens = jnp.asarray(lens)
@@ -133,15 +137,25 @@ class DPEnvV3Multi:
         self.clip_com_vel = com_vel  # (K, Tmax, 3)
 
     # ------------------------------------------------------------------
-    def _clip_index(self, clip_id, mocap_idx):
+    def _clip_index(self, clip_id, mocap_idx, init_idx=0):
+        """Frame position = init + elapsed·(control_dt/clip_dt) — clips are
+        not all 30 fps (see DPEnvV3._clip_index)."""
         T = self.clip_lens[clip_id]
         wraps = self.clip_wraps[clip_id]
-        idx = jnp.where(wraps, mocap_idx % T, jnp.minimum(mocap_idx, T - 1))
-        cycles = jnp.where(wraps, (mocap_idx // T).astype(jnp.float32), 0.0)
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.clip_scales[clip_id])
+        idx_r = jnp.round(pos).astype(jnp.int32)
+        idx = jnp.where(wraps, idx_r % T, jnp.minimum(idx_r, T - 1))
+        cycles = jnp.where(wraps, jnp.floor(pos / T), 0.0)
         return idx, cycles
 
-    def _obs(self, qpos, qvel, clip_id, mocap_idx):
-        idx, _ = self._clip_index(clip_id, mocap_idx)
+    def _clip_over(self, clip_id, mocap_idx, init_idx):
+        pos = (jnp.asarray(init_idx, jnp.float32)
+               + (mocap_idx - init_idx) * self.clip_scales[clip_id])
+        return pos >= self.clip_lens[clip_id] - 1
+
+    def _obs(self, qpos, qvel, clip_id, mocap_idx, init_idx=0):
+        idx, _ = self._clip_index(clip_id, mocap_idx, init_idx)
         phase = idx.astype(jnp.float32) / self.clip_lens[clip_id]
         onehot = jax.nn.one_hot(clip_id, self.num_clips)
         parts = [onehot, phase[None]]
@@ -153,7 +167,7 @@ class DPEnvV3Multi:
     def _state(self, qpos, qvel, key, clip_id, idx):
         return EnvState(
             qpos=qpos, qvel=qvel,
-            obs=self._obs(qpos, qvel, clip_id, idx),
+            obs=self._obs(qpos, qvel, clip_id, idx, idx),
             reward=jnp.zeros((), jnp.float32), done=jnp.zeros((), bool),
             mocap_idx=idx, init_idx=idx,
             step_count=jnp.zeros((), jnp.int32), key=key, clip_id=clip_id,
@@ -182,7 +196,7 @@ class DPEnvV3Multi:
         # the frame the character should reach by the END of this control
         # step (see DPEnvV3.step for rationale)
         mocap_idx = state.mocap_idx + 1
-        ref_idx, _ = self._clip_index(clip_id, mocap_idx)
+        ref_idx, _ = self._clip_index(clip_id, mocap_idx, state.init_idx)
         if self.control_mode == "pd_residual":
             action = self.clip_qpos[clip_id, ref_idx][7:] + action
         qpos, qvel = engine.step_pd(
@@ -201,7 +215,7 @@ class DPEnvV3Multi:
         if self.max_episode_steps:
             done = done | (state.step_count + 1 >= self.max_episode_steps)
 
-        idx, cycles = self._clip_index(clip_id, mocap_idx)
+        idx, cycles = self._clip_index(clip_id, mocap_idx, state.init_idx)
         offset = cycles * self.cycle_offset[clip_id]
         ref_qp = self.clip_qpos[clip_id, idx]
         ref_qv = self.clip_qvel[clip_id, idx]
@@ -222,11 +236,11 @@ class DPEnvV3Multi:
             )
         # non-looping clips: episode ends when the motion is over
         done = done | (~self.clip_wraps[clip_id]
-                       & (mocap_idx >= self.clip_lens[clip_id] - 1))
+                       & self._clip_over(clip_id, mocap_idx, state.init_idx))
 
         return EnvState(
             qpos=qpos, qvel=qvel,
-            obs=self._obs(qpos, qvel, clip_id, mocap_idx),
+            obs=self._obs(qpos, qvel, clip_id, mocap_idx, state.init_idx),
             reward=reward, done=done,
             mocap_idx=mocap_idx, init_idx=state.init_idx,
             step_count=state.step_count + 1, key=state.key, clip_id=clip_id,

@@ -189,6 +189,31 @@ class TestPDControlAndImitation:
                              obs_mode="legacy")
         assert env_legacy.observation_size == 57
 
+    def test_cursor_scales_to_clip_frame_rate(self):
+        """Clips are not all 30 fps (spinkick 60, backflip 16, spin 24): the
+        cursor must advance control_dt/clip_dt frames per 30 Hz control
+        step, or fast clips get imitated in slow motion with velocity
+        targets inconsistent with pose targets."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env60 = DPEnvV3(clip="spinkick", reward_mode="imitation_dm",
+                        control_mode="pd_residual", n_substeps=2)
+        assert env60.cursor_scale == pytest.approx(2.0, rel=0.01)
+        s = env60.reset_at(jax.random.PRNGKey(0), 10)
+        # one control step (1/30 s) advances two 60 fps frames
+        idx, _ = env60._clip_index(s.mocap_idx + 1, s.init_idx)
+        assert int(idx) == 12
+        env30 = DPEnvV3(clip="walk", reward_mode="imitation_dm",
+                        control_mode="pd_residual", n_substeps=2)
+        assert env30.cursor_scale == pytest.approx(1.0, rel=0.01)
+        env16 = DPEnvV3(clip="backflip", reward_mode="imitation_dm",
+                        control_mode="pd_residual", n_substeps=2)
+        assert env16.cursor_scale == pytest.approx(0.533, rel=0.02)
+        s = env16.reset_at(jax.random.PRNGKey(0), 0)
+        # two control steps ≈ one 16 fps frame
+        idx, _ = env16._clip_index(s.mocap_idx + 2, s.init_idx)
+        assert int(idx) == 1
+
     def test_termination_defaults(self):
         """Imitation modes default to the original fall-contact rule; the
         standup task keeps the reference's CoM bounds.  The CoM rule kills
@@ -298,7 +323,8 @@ class TestPDControlAndImitation:
 
         from deepmimic_mujoco_tpu.envs import DPEnvV3
 
-        env = DPEnvV3(clip="walk", reward_mode="imitation")
+        # n_substeps=2 → 30 Hz control = the walk clip rate (cursor scale 1)
+        env = DPEnvV3(clip="walk", reward_mode="imitation", n_substeps=2)
         T = env.clip_len
         step = jax.jit(env.step)
         per_cycle = []
@@ -399,7 +425,7 @@ class TestMultiClip:
         the reward is continuous across clip wraps."""
         from deepmimic_mujoco_tpu.envs import DPEnvV3
 
-        env = DPEnvV3(clip="walk", reward_mode="imitation_dm")
+        env = DPEnvV3(clip="walk", reward_mode="imitation_dm", n_substeps=2)
         T = env.clip_len
         step = jax.jit(env.step)
         rews = []
@@ -410,5 +436,7 @@ class TestMultiClip:
                            jnp.asarray(idx), jnp.asarray(t))
             rews.append(float(step(s, qp[7:]).reward))
         c0, c1 = np.mean(rews[:T]), np.mean(rews[T:])
-        assert c0 > 0.9, c0
+        # kinematic reset + one full 1/30 s torque step drifts slightly
+        # from the next frame; ~0.89 with 2 substeps (was ~0.93 with 1)
+        assert c0 > 0.85, c0
         assert abs(c0 - c1) < 0.02, (c0, c1)

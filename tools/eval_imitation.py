@@ -72,7 +72,7 @@ def main() -> None:
             s, alive, ep_len, rew_sum = carry
             mean, _ = policy.mean_logstd(params, s.obs)
             nxt = jax.vmap(env.step)(s, mean)
-            idx = jax.vmap(lambda st: env._clip_index(st.mocap_idx)[0])(s)
+            idx = jax.vmap(lambda st: env._clip_index(st.mocap_idx, st.init_idx)[0])(s)
             ref = env.clip_qpos[idx]
             pose_err = jax.vmap(rewards.weighted_pose_error)(
                 nxt.qpos[:, 7:], ref[:, 7:])
