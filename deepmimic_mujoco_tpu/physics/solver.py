@@ -30,16 +30,25 @@ import os
 
 def use_pallas() -> bool:
     """Whether vmapped solves dispatch to the Pallas TPU kernel
-    (DMTPU_PALLAS=1/0 overrides; default off).
+    (DMTPU_PALLAS=1/0 overrides; default ON for TPU backends).
 
-    Measured on v5e (512–4096 envs, TRPO end-to-end): XLA wins ~2×
-    (37k vs 18.7k env-steps/s at 512 envs) — ne≈60 matvecs are too small to
-    tile the MXU from Pallas, while XLA fuses the APGD scan and keeps the
-    batched A resident. The kernel is kept for larger constraint sets."""
+    Measured on v5e, TRPO end-to-end with the LANE-MAJOR kernel
+    (ops/apgd.py, env batch in the 128-lane axis, A VMEM-resident across
+    all iterations): beats XLA at every batch size — 90.4k vs 82.5k
+    env-steps/s at 768 envs (+9.5%), 78.6k vs 73.3k at 2048, 44.9k vs
+    43.2k at 4096 (2026-08-17).  The r1 block-layout kernel lost 2× (its
+    per-env batched dot_general could not vectorize); kept behind
+    DMTPU_PALLAS_LAYOUT=blocks."""
     v = os.environ.get("DMTPU_PALLAS")
     if v is not None:
         return v not in ("0", "false", "off")
-    return False
+    try:
+        import jax
+
+        # 'axon' = the hosted-TPU tunnel platform name
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 
