@@ -30,7 +30,7 @@ import os
 
 def use_pallas() -> bool:
     """Whether vmapped solves dispatch to the Pallas TPU kernel
-    (DMTPU_PALLAS=1/0 overrides; default ON for TPU backends).
+    (DMTPU_PALLAS=1/0 overrides; default OFF).
 
     Measured on v5e, TRPO end-to-end with the LANE-MAJOR kernel
     (ops/apgd.py, env batch in the 128-lane axis, A VMEM-resident across
@@ -38,17 +38,18 @@ def use_pallas() -> bool:
     env-steps/s at 768 envs (+9.5%), 78.6k vs 73.3k at 2048, 44.9k vs
     43.2k at 4096 (2026-08-17).  The r1 block-layout kernel lost 2× (its
     per-env batched dot_general could not vectorize); kept behind
-    DMTPU_PALLAS_LAYOUT=blocks."""
+    DMTPU_PALLAS_LAYOUT=blocks.
+
+    Default OFF despite the win: on the hosted-TPU tunnel the REMOTE
+    Mosaic compile service can wedge for hours on large programs
+    (training-sized scans; observed 2026-08-17 — even a later bench-sized
+    Mosaic compile re-wedged the freshly-recovered terminal), and a wedged
+    compile blocks the whole chip.  On self-hosted TPUs with local
+    compilation set DMTPU_PALLAS=1 for the ~10% end-to-end win."""
     v = os.environ.get("DMTPU_PALLAS")
     if v is not None:
         return v not in ("0", "false", "off")
-    try:
-        import jax
-
-        # 'axon' = the hosted-TPU tunnel platform name
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return False
 
 
 
