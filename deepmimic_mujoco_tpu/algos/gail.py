@@ -68,6 +68,10 @@ class GAILStats(NamedTuple):
     gen_acc: Any
     exp_acc: Any
     true_ep_ret_sum: Any
+    # per-episode TRUE env returns (g_step, T, B), aligned with
+    # trpo.ep_lens — the monitor logs true rewards while the learning
+    # signal is the discriminator's (reference gail.py:78-87)
+    true_ep_rets: Any = None
 
 
 class GAIL:
@@ -153,7 +157,11 @@ class GAIL:
                    new=news.astype(jnp.float32), nextvpred=nextvpred,
                    ep_ret_sum=jnp.sum(e_rets), ep_len_sum=jnp.sum(e_lens),
                    ep_count=jnp.sum(e_lens > 0),
-                   true_ep_ret_sum=jnp.sum(e_true))
+                   true_ep_ret_sum=jnp.sum(e_true),
+                   # per-episode records (T, B): nonzero where an episode
+                   # ENDED at that step — the host extracts true monitor
+                   # rows (see IterStats.ep_rets)
+                   ep_rets=e_rets, ep_lens=e_lens, ep_true=e_true)
         return seg, env_state, new_last, key, ep_ret, ep_len
 
     # ------------------------------------------------------------------
@@ -175,6 +183,7 @@ class GAIL:
         ev = jnp.zeros((), jnp.float32)
         last_ob = None
         last_ac = None
+        ep_rets_all, ep_lens_all, ep_true_all = [], [], []
 
         for _ in range(cfg.g_step):
             seg, env_state, new, key, ep_ret, ep_len = \
@@ -189,6 +198,9 @@ class GAIL:
             ep_len_sum_last = seg["ep_len_sum"]
             last_ob = seg["ob"].reshape(-1, seg["ob"].shape[-1])
             last_ac = seg["ac"].reshape(-1, seg["ac"].shape[-1])
+            ep_rets_all.append(seg["ep_rets"])
+            ep_lens_all.append(seg["ep_lens"])
+            ep_true_all.append(seg["ep_true"])
 
         # ---- discriminator updates (gail.py:329-343) ----
         d_flat, d_unravel = jax.flatten_util.ravel_pytree(d_params["net"])
@@ -258,9 +270,12 @@ class GAIL:
                 timesteps=jnp.asarray(
                     cfg.g_step * cfg.horizon * cfg.num_envs, jnp.float32),
                 ep_len_sum_last=ep_len_sum_last,
+                ep_rets=jnp.stack(ep_rets_all),
+                ep_lens=jnp.stack(ep_lens_all),
             ),
             d_loss=jnp.mean(d_losses), gen_acc=jnp.mean(g_accs),
             exp_acc=jnp.mean(e_accs), true_ep_ret_sum=true_sum,
+            true_ep_rets=jnp.stack(ep_true_all),
         )
         return GAILState(trpo=new_trpo, d_params=d_params, d_adam=d_adam,
                          expert_ptr=expert_ptr), stats

@@ -96,6 +96,9 @@ def main(argv=None) -> None:
     log_dir = os.path.join(args.log_dir, name)
     ckpt_dir = os.path.join(args.checkpoint_dir, name)
     logger.configure(log_dir)
+    from deepmimic_mujoco_tpu.utils.monitor import Monitor
+
+    monitor = Monitor(os.path.join(log_dir, "monitor.json"))
 
     lenbuffer, rewbuffer, truebuffer = (deque(maxlen=40) for _ in range(3))
     timesteps = 0
@@ -110,9 +113,18 @@ def main(argv=None) -> None:
         t = stats.trpo
         n_ep = int(t.ep_count)
         if n_ep:
-            rewbuffer.append(float(t.ep_ret_sum) / n_ep)
-            lenbuffer.append(float(t.ep_len_sum) / n_ep)
-            truebuffer.append(float(stats.true_ep_ret_sum) / n_ep)
+            # true per-episode rows in completion order; the monitor records
+            # the TRUE env reward (the reference logs true rewards while the
+            # learning signal is the discriminator's, gail.py:78-87)
+            lens = np.asarray(t.ep_lens).reshape(-1)
+            rets = np.asarray(t.ep_rets).reshape(-1)
+            trues = np.asarray(stats.true_ep_rets).reshape(-1)
+            ended = lens > 0
+            for r, tr, l in zip(rets[ended], trues[ended], lens[ended]):
+                rewbuffer.append(float(r))
+                truebuffer.append(float(tr))
+                lenbuffer.append(int(l))
+                monitor.record(float(tr), int(l))
         timesteps += int(t.timesteps)
         iters += 1
         logger.record_tabular("EpLenMean", np.mean(lenbuffer) if lenbuffer else np.nan)
@@ -127,6 +139,7 @@ def main(argv=None) -> None:
         if iters % 100 == 0:
             checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
     checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
+    monitor.close()
 
 
 if __name__ == "__main__":

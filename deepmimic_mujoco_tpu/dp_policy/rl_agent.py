@@ -61,10 +61,17 @@ class RLAgentDriver:
         self._pending = [Path() for _ in range(num_envs)]
         self._path_returns: list[float] = []
         self.iter = 0
-        # pad cap for the jitted train step (records > BatchSize by at most
-        # one chunk of steps plus one end record per closing path)
-        cap = (agent.batch_size + num_envs * chunk + num_envs + chunk + 64)
+        # pad cap for the jitted train step, sized ONCE from the worst case
+        # so the (n_mb, cap) jit signature never changes: training fires on
+        # the first chunk that pushes the buffer past BatchSize, and one
+        # chunk adds at most num_envs·chunk step records plus one end record
+        # per done (≤ one per step) — cap growth would retrace the whole
+        # multi-epoch training graph (minutes-scale on the hosted tunnel)
+        cap = agent.batch_size + 2 * num_envs * chunk + 64
         self._train_cap = int(-(-cap // 256) * 256)
+        # minibatch count is static too: minibatches sample with replacement
+        # from probability vectors, so the count need not track n_valid
+        self._n_mb = max(1, -(-agent.batch_size // agent.mini_batch_size))
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -93,8 +100,17 @@ class RLAgentDriver:
 
             cap_done = (jnp.zeros(B, bool) if not cap
                         else nxt.step_count >= cap)
-            succ_done = (jnp.zeros(B, bool) if wraps or not clip_len
-                        else nxt.mocap_idx >= clip_len - 1)
+            if wraps or not clip_len:
+                succ_done = jnp.zeros(B, bool)
+            elif hasattr(self.env, "_clip_over"):
+                # success must use the env's own SCALED cursor predicate:
+                # non-looping 60 fps clips finish at raw mocap_idx ≈ (T-1)/2,
+                # so a raw-counter comparison would label a completed motion
+                # Terminate.FAIL and bootstrap its value with val_min
+                succ_done = jax.vmap(self.env._clip_over)(
+                    nxt.mocap_idx, nxt.init_idx)
+            else:
+                succ_done = nxt.mocap_idx >= clip_len - 1
             term = jnp.where(
                 done,
                 jnp.where(succ_done, Terminate.SUCC,
@@ -155,9 +171,9 @@ class RLAgentDriver:
         buf = self.replay_buffer
         n = buf.get_current_size()
         cap = self._train_cap
-        while n > cap:   # safety: never truncate silently
-            cap += 256
-        self._train_cap = cap
+        if n > cap:   # unreachable by construction; never truncate silently
+            raise RuntimeError(
+                f"replay buffer holds {n} records > static pad cap {cap}")
 
         def pad(a, fill=0.0):
             out = np.full((cap,) + a.shape[1:], fill, a.dtype)
@@ -175,8 +191,7 @@ class RLAgentDriver:
         valid = np.zeros(cap, bool)
         valid[:n] = True
 
-        n_valid = int(np.sum(~buf.end_mask()))
-        n_mb = max(1, int(np.ceil(n_valid / self.agent.mini_batch_size)))
+        n_mb = self._n_mb
 
         self._key, k = jax.random.split(self._key)
         params, metrics = self.agent.train_on_batch(

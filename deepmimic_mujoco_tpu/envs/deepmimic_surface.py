@@ -266,8 +266,11 @@ class DeepMimicSurfaceEnv:
         pos = (jnp.asarray(init_idx, jnp.float32)
                + (mocap_idx - init_idx) * self.cursor_scale)
         if self.clip_wraps:
-            idx = jnp.round(pos).astype(jnp.int32) % self.clip_len
-            return idx, jnp.floor(pos / self.clip_len)
+            # cycles from the rounded position, so idx and the root
+            # re-basing wrap together (see DPEnvV3._clip_index)
+            idx_r = jnp.round(pos).astype(jnp.int32)
+            return idx_r % self.clip_len, (
+                idx_r // self.clip_len).astype(jnp.float32)
         return (jnp.minimum(jnp.round(pos).astype(jnp.int32),
                             self.clip_len - 1),
                 jnp.zeros((), jnp.float32))

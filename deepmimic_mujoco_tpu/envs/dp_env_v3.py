@@ -233,8 +233,13 @@ class DPEnvV3:
         pos = (jnp.asarray(init_idx, jnp.float32)
                + (mocap_idx - init_idx) * self.cursor_scale)
         if self.clip_wraps:
-            idx = jnp.round(pos).astype(jnp.int32) % self.clip_len
-            return idx, jnp.floor(pos / self.clip_len)
+            # cycles must come from the SAME rounded position as idx:
+            # when pos ∈ [T-0.5, T) the index wraps to 0, and the root
+            # re-basing has to wrap with it or the reward sees a spurious
+            # one-cycle root error once per cycle
+            idx_r = jnp.round(pos).astype(jnp.int32)
+            idx = idx_r % self.clip_len
+            return idx, (idx_r // self.clip_len).astype(jnp.float32)
         idx = jnp.minimum(jnp.round(pos).astype(jnp.int32),
                           self.clip_len - 1)
         return idx, jnp.zeros((), jnp.float32)
@@ -367,7 +372,8 @@ class DPEnvV3:
             raise ValueError(f"unknown reward_mode {self.reward_mode!r}")
 
         return EnvState(
-            qpos=qpos, qvel=qvel, obs=self._obs(qpos, qvel, mocap_idx),
+            qpos=qpos, qvel=qvel,
+            obs=self._obs(qpos, qvel, mocap_idx, state.init_idx),
             reward=reward, done=done,
             mocap_idx=mocap_idx, init_idx=state.init_idx,
             step_count=state.step_count + 1, key=state.key,

@@ -102,14 +102,20 @@ class DPEnvV3Multi:
             )
             from deepmimic_mujoco_tpu.mocap.constants import BODY_DEFS
 
-            disallowed = np.zeros(self.model.nbody, bool)
-            for i in load_fall_contact_bodies(self.clip_names[0]):
-                name = BODY_DEFS[i]
-                disallowed[self.model.body_index(
-                    name.replace("wrist", "elbow")
-                    if name.endswith("wrist") else name)] = True
-            self._fall_cand = jnp.asarray(
-                disallowed[np.asarray(self.model.cand_body)])
+            # per-clip lists: the arg files differ per skill upstream
+            # (e.g. getup/roll motions allow extra contact bodies) — using
+            # clips[0]'s rule for every skill would terminate valid episodes
+            cand = np.asarray(self.model.cand_body)
+            fall_cand = np.zeros((K, len(cand)), bool)
+            for k_i, cname in enumerate(self.clip_names):
+                disallowed = np.zeros(self.model.nbody, bool)
+                for i in load_fall_contact_bodies(cname):
+                    name = BODY_DEFS[i]
+                    disallowed[self.model.body_index(
+                        name.replace("wrist", "elbow")
+                        if name.endswith("wrist") else name)] = True
+                fall_cand[k_i] = disallowed[cand]
+            self._fall_cand = jnp.asarray(fall_cand)  # (K, n_cand)
 
         from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
 
@@ -146,7 +152,9 @@ class DPEnvV3Multi:
                + (mocap_idx - init_idx) * self.clip_scales[clip_id])
         idx_r = jnp.round(pos).astype(jnp.int32)
         idx = jnp.where(wraps, idx_r % T, jnp.minimum(idx_r, T - 1))
-        cycles = jnp.where(wraps, jnp.floor(pos / T), 0.0)
+        # cycles from the rounded position, so idx and the root re-basing
+        # wrap together (see DPEnvV3._clip_index)
+        cycles = jnp.where(wraps, (idx_r // T).astype(jnp.float32), 0.0)
         return idx, cycles
 
     def _clip_over(self, clip_id, mocap_idx, init_idx):
@@ -209,7 +217,7 @@ class DPEnvV3Multi:
             from deepmimic_mujoco_tpu.physics import collision
 
             contacts = collision.floor_contacts(self.model, kin)
-            done = jnp.any(contacts.active & self._fall_cand)
+            done = jnp.any(contacts.active & self._fall_cand[clip_id])
         else:
             done = (com[2] < 0.7) | (com[2] > 2.0)
         if self.max_episode_steps:

@@ -26,13 +26,18 @@ def save(path: str, tree: Any) -> None:
     )
 
 
-def load(path: str, like: Any) -> Any:
+def load(path: str, like: Any, allow_structure_drift: bool = False) -> Any:
     """Load a pytree saved by :func:`save`; ``like`` provides the structure
     (and device placement is left to the caller).
 
     The stored ``__treedef__`` must match ``like``'s structure — a stale
     checkpoint with the same leaf count would otherwise silently mis-map
-    leaves onto the wrong parameters."""
+    leaves onto the wrong parameters.  Structure drift is a hard error by
+    default: two same-shaped leaves under reordered dict keys (e.g. actor
+    and critic layers of equal width) would silently swap under positional
+    loading.  Pass ``allow_structure_drift=True`` to opt in to positional
+    loading of a checkpoint written by an older field layout whose leaf
+    shapes all still line up."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
@@ -45,28 +50,31 @@ def load(path: str, like: Any) -> Any:
             f"{treedef.num_leaves} — written by a different "
             "model/optimizer configuration")
     if saved_treedef != str(treedef):
-        # structure drift: tolerate it only when every leaf shape still
-        # lines up (e.g. a later-added leafless None field); a same-count
-        # different-shape checkpoint would silently mis-map leaves
         like_leaves = jax.tree.leaves(like)
         bad = [
             (i, np.shape(s), np.shape(l))
             for i, (s, l) in enumerate(zip(leaves, like_leaves))
             if np.shape(s) != np.shape(l)
         ]
-        if bad:
-            i, ss, ls = bad[0]
+        if bad or not allow_structure_drift:
+            detail = ""
+            if bad:
+                i, ss, ls = bad[0]
+                detail = f" (leaf {i}: saved shape {ss} vs expected {ls})"
             raise ValueError(
-                f"checkpoint structure mismatch for {path!r} (leaf {i}: "
-                f"saved shape {ss} vs expected {ls}):\n"
+                f"checkpoint structure mismatch for {path!r}{detail}:\n"
                 f"  saved:    {saved_treedef[:200]}...\n"
                 f"  expected: {str(treedef)[:200]}...\n"
                 "The checkpoint was written by a different model/optimizer "
-                "configuration.")
+                "configuration."
+                + ("" if bad else
+                   " All leaf shapes line up; pass "
+                   "allow_structure_drift=True to load positionally if the "
+                   "drift is a benign field-layout change."))
         import warnings
 
         warnings.warn(
             f"checkpoint {path!r} has a different pytree structure but "
-            "identical leaf shapes; loading positionally (likely written "
-            "by an older field layout)")
+            "identical leaf shapes; loading positionally "
+            "(allow_structure_drift=True)")
     return jax.tree.unflatten(treedef, leaves)

@@ -132,10 +132,10 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="leaves"):
             checkpoint.load(p, {"x": jnp.zeros(3)})
 
-    def test_structure_drift_with_same_shapes_warns(self, tmp_path):
-        """Benign structure drift (e.g. a later-added leafless None field)
-        loads positionally with a warning — keeps old-round checkpoints
-        usable."""
+    def test_structure_drift_strict_by_default(self, tmp_path):
+        """Structure drift is a HARD error unless explicitly opted out:
+        reordered same-shaped leaves (e.g. equal-width actor/critic layers)
+        would silently swap under positional loading."""
         import pytest
 
         from deepmimic_mujoco_tpu.io_utils import checkpoint
@@ -143,11 +143,19 @@ class TestCheckpoint:
         tree = {"a": jnp.arange(3.0), "b": jnp.ones(2)}
         p = str(tmp_path / "ckpt")
         checkpoint.save(p, tree)
+        # renamed keys, identical leaf shapes — must raise by default
         like = {"a": jnp.zeros(3), "b": jnp.zeros(2), "c": None}
+        with pytest.raises(ValueError, match="structure mismatch"):
+            checkpoint.load(p, like)
+        # explicit opt-in loads positionally with a warning
         with pytest.warns(UserWarning, match="different pytree structure"):
-            out = checkpoint.load(p, like)
+            out = checkpoint.load(p, like, allow_structure_drift=True)
         np.testing.assert_array_equal(np.asarray(out["a"]),
                                       np.arange(3.0))
+        # opt-in never overrides a SHAPE mismatch
+        bad = {"x": jnp.zeros(2), "y": jnp.zeros(3)}
+        with pytest.raises(ValueError, match="structure mismatch"):
+            checkpoint.load(p, bad, allow_structure_drift=True)
 
 
 class TestDatasets:

@@ -394,3 +394,56 @@ class TestRLWorld:
         ac = world.get_action(0, np.zeros(197))
         assert ac.shape == (36,)
         assert np.isfinite(ac).all()
+
+
+class TestSuccClassification:
+    """Round-3 regression: success for non-looping clips must use the env's
+    SCALED cursor predicate.  getup_facedown is 60 fps (cursor_scale ≈ 2),
+    so the motion finishes at raw mocap_idx ≈ (T-1)/2 — a raw-counter
+    comparison (mocap_idx >= clip_len - 1) labelled every completed motion
+    Terminate.FAIL and bootstrapped its value with val_min."""
+
+    def test_clip_over_vs_raw_counter(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="getup_facedown", reward_mode="imitation_dm",
+                      control_mode="pd_residual", n_substeps=2)
+        assert not env.clip_wraps
+        assert env.cursor_scale == pytest.approx(2.0, rel=0.02)
+        T = env.clip_len
+        m_done = int(np.ceil((T - 1) / env.cursor_scale))
+        # the motion is over well before the raw counter reaches T-1
+        assert m_done < T - 1
+        assert bool(env._clip_over(jnp.asarray(m_done), jnp.asarray(0)))
+        assert not bool(env._clip_over(jnp.asarray(m_done - 2),
+                                       jnp.asarray(0)))
+
+    def test_driver_rollout_classifies_succ(self):
+        """Drive the real env to the end of the motion inside the jitted
+        rollout and assert the stored path terminates SUCC, not FAIL."""
+        from deepmimic_mujoco_tpu.dp_policy.path import Terminate
+        from deepmimic_mujoco_tpu.dp_policy.rl_agent import RLAgentDriver
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="getup_facedown", reward_mode="imitation_dm",
+                      control_mode="pd_residual", n_substeps=2)
+        T = env.clip_len
+        agent = PPOAgent(env.observation_size, env.action_size,
+                         spec={"BatchSize": 10**9, "MiniBatchSize": 16,
+                               "ReplayBufferSize": 4096})
+        chunk = int(np.ceil((T - 1) / env.cursor_scale)) + 4
+        driver = RLAgentDriver(env, agent, num_envs=2, seed=0, chunk=chunk)
+        params = agent.init(jax.random.PRNGKey(0))
+        # start both envs 4 raw steps before the motion end so a SUCC end is
+        # reached quickly; the residual-PD zero action tracks the clip
+        start = int(T - 1 - 4 * env.cursor_scale)
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        env_state = jax.vmap(
+            lambda k: env.reset_at(k, jnp.asarray(start)))(keys)
+        driver._key, k = jax.random.split(driver._key)
+        env_state, traj = driver._rollout(params, env_state, k)
+        driver._absorb_chunk(traj)
+        buf = driver.replay_buffer
+        assert buf.num_paths >= 1
+        assert buf.succ_mask().any(), (
+            "completed non-looping motion must classify Terminate.SUCC")

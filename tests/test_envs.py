@@ -440,3 +440,104 @@ class TestMultiClip:
         # from the next frame; ~0.89 with 2 substeps (was ~0.93 with 1)
         assert c0 > 0.85, c0
         assert abs(c0 - c1) < 0.02, (c0, c1)
+
+
+class TestCursorRegressions:
+    """Round-3 regression tests for the two confirmed cursor bugs:
+
+    1. ``DPEnvV3.step`` dropped ``init_idx`` from the observation — the phase
+       channel restarted from init 0 after one step, scrambling the time
+       index for every RSI episode on a non-30fps clip (spinkick trained
+       against it in r2).
+    2. ``_clip_index`` derived ``cycles`` from the raw position but ``idx``
+       from the rounded one: once per cycle (pos ∈ [T-0.5, T)) the index
+       wrapped to frame 0 without the root re-basing, spiking the imitation
+       reward with a spurious ~one-cycle root error.
+    """
+
+    def test_phase_obs_tracks_init_idx_after_step(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        env = DPEnvV3(clip="spinkick", reward_mode="imitation_dm",
+                      control_mode="pd_residual", n_substeps=2)
+        T = env.clip_len
+        s = env.reset_at(jax.random.PRNGKey(0), 40)
+        assert float(s.obs[0]) == pytest.approx(40 / T, abs=1e-6)
+        s1 = jax.jit(env.step)(s, jnp.zeros(28))
+        # the obs phase must agree with the reward's cursor (init + elapsed
+        # · cursor_scale), i.e. ≈ (40 + 2)/T — not the init-0 clock ≈ 2/T
+        idx, _ = env._clip_index(s1.mocap_idx, s1.init_idx)
+        assert float(s1.obs[0]) == pytest.approx(float(idx) / T, abs=1e-6)
+        assert float(s1.obs[0]) == pytest.approx(
+            (40 + env.cursor_scale) / T, abs=1.0 / T)
+
+    def test_clip_index_cycles_wrap_with_idx(self):
+        """Invariant: cycles·T + idx == round(pos) for wrapping clips, at
+        every control step — including the once-per-cycle rounding window
+        where the old formula de-synced them."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+
+        for clip in ("walk", "spinkick"):
+            env = DPEnvV3(clip=clip, reward_mode="imitation_dm",
+                          control_mode="pd_residual", n_substeps=2)
+            T = env.clip_len
+            steps = int(np.ceil(3 * T / env.cursor_scale)) + 2
+            m = jnp.arange(steps)
+            idx, cyc = jax.vmap(lambda i: env._clip_index(i, 0))(m)
+            pos = np.arange(steps) * env.cursor_scale
+            idx_r = np.round(pos).astype(int)
+            np.testing.assert_array_equal(np.asarray(idx), idx_r % T)
+            np.testing.assert_array_equal(
+                np.asarray(cyc).astype(int), idx_r // T)
+            # the regression window is actually exercised by the sweep
+            assert ((pos % T > T - 0.5) & (idx_r % T == 0)).any(), clip
+
+    def test_clip_index_cycles_consistent_multi_and_surface(self):
+        from deepmimic_mujoco_tpu.envs import DPEnvV3Multi
+        from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+            DeepMimicSurfaceEnv,
+        )
+
+        menv = DPEnvV3Multi(clips=("walk", "spinkick"))
+        for k in range(2):
+            T = int(menv.clip_lens[k])
+            scale = float(menv.clip_scales[k])
+            steps = int(np.ceil(3 * T / scale)) + 2
+            idx, cyc = jax.vmap(
+                lambda i: menv._clip_index(jnp.asarray(k), i, 0)
+            )(jnp.arange(steps))
+            idx_r = np.round(np.arange(steps) * scale).astype(int)
+            np.testing.assert_array_equal(np.asarray(idx), idx_r % T)
+            np.testing.assert_array_equal(
+                np.asarray(cyc).astype(int), idx_r // T)
+
+        senv = DeepMimicSurfaceEnv(clip="walk", n_substeps=2)
+        T = senv.clip_len
+        steps = int(np.ceil(3 * T / senv.cursor_scale)) + 2
+        idx, cyc = jax.vmap(lambda i: senv._clip_index(i, 0))(
+            jnp.arange(steps))
+        idx_r = np.round(
+            np.arange(steps) * senv.cursor_scale).astype(int)
+        np.testing.assert_array_equal(np.asarray(idx), idx_r % T)
+        np.testing.assert_array_equal(np.asarray(cyc).astype(int),
+                                      idx_r // T)
+
+    def test_multi_clip_per_skill_fall_lists(self):
+        """Fall-contact candidates are selected per clip_id — arg files
+        differ per skill upstream (args/train_humanoid3d_*_args.txt)."""
+        from deepmimic_mujoco_tpu.envs import DPEnvV3Multi
+        from deepmimic_mujoco_tpu.envs.deepmimic_surface import (
+            load_fall_contact_bodies,
+        )
+
+        env = DPEnvV3Multi(clips=("walk", "getup_facedown"))
+        assert env._fall_cand.shape[0] == 2
+        if (load_fall_contact_bodies("walk")
+                != load_fall_contact_bodies("getup_facedown")):
+            assert bool(
+                (env._fall_cand[0] != env._fall_cand[1]).any())
+        # batched step with mixed clips still jits
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        s = jax.vmap(env.reset)(keys)
+        s = jax.jit(jax.vmap(env.step))(s, jnp.zeros((4, 28)))
+        assert bool(jnp.isfinite(s.reward).all())
