@@ -36,13 +36,22 @@ def _time(fn, block, iters):
 
 
 def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
+    import dataclasses
+
     import jax
 
     from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
     from deepmimic_mujoco_tpu.envs import DPEnvV3
     from deepmimic_mujoco_tpu.models import MlpPolicy
+    from deepmimic_mujoco_tpu.physics import build_humanoid
 
-    env = DPEnvV3(clip="walk")
+    model = build_humanoid()
+    # BENCH_WARM=K: warm-started constraint solves at K iterations
+    # (PhysicsModel.warm_iterations) — A/B knob for the default setting
+    warm = int(os.environ.get("BENCH_WARM", "-1"))
+    if warm >= 0:
+        model = dataclasses.replace(model, warm_iterations=warm)
+    env = DPEnvV3(clip="walk", model=model)
     policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
     cfg = TRPOConfig(horizon=horizon, num_envs=num_envs, g_step=1)
     learner = TRPO(env, policy, cfg)
@@ -58,6 +67,28 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
                   iters)
     steps = cfg.g_step * cfg.horizon * cfg.num_envs
     out = {"steps_per_s": steps / dt, "iter_ms": dt * 1e3}
+
+    # XLA cost analysis of the compiled iteration: model FLOPs + HBM bytes
+    # → MFU vs the v5e bf16 MXU peak (197 TFLOP/s) and streaming bandwidth.
+    # The program is f32-dominated, so mfu_vs_bf16_peak understates use of
+    # the f32 pipeline by ~2× — it is a cross-round-comparable utilization
+    # index, not a roofline claim.
+    try:
+        compiled = type(learner).iteration.lower(learner, state).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            out["flops_per_iter"] = flops
+            out["tflops_per_s"] = flops / dt / 1e12
+            out["mfu_vs_bf16_peak"] = flops / dt / 197e12
+        if byts > 0:
+            out["hbm_gb_per_s"] = byts / dt / 1e9
+            if flops > 0:
+                out["arith_intensity"] = flops / byts
+    except Exception:
+        pass
 
     if breakdown:
         state = holder["state"]
@@ -114,7 +145,8 @@ def main() -> None:
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 768))
     horizon = int(os.environ.get("BENCH_HORIZON", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    breakdown = os.environ.get("BENCH_BREAKDOWN", "0") not in ("0", "")
+    # per-phase breakdown is on by default (BENCH_BREAKDOWN=0 disables)
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") not in ("0", "")
     sweep_env = os.environ.get("BENCH_SWEEP", "")
 
     result = measure(num_envs, horizon, iters, breakdown)
@@ -125,6 +157,10 @@ def main() -> None:
         "vs_baseline": round(result["steps_per_s"] / 460.0, 2),
         "num_envs": num_envs,
     }
+    for k in ("tflops_per_s", "mfu_vs_bf16_peak", "hbm_gb_per_s",
+              "arith_intensity"):
+        if k in result:
+            payload[k] = round(result[k], 4)
     if breakdown:
         payload["phase_ms"] = result["phase_ms"]
         payload["rollout_steps_per_s"] = round(result["rollout_steps_per_s"], 1)

@@ -43,6 +43,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default="log_tmp")
     p.add_argument("--num-iters", type=int, default=0)
     p.add_argument("--platform", default=None)
+    # env/policy configuration (mirrors train_trpo) — needed to run GAIL on
+    # the imitation surface the expert data was sampled from, not just the
+    # reference's default standup env
+    p.add_argument("--reward-mode", default="alive",
+                   choices=["alive", "mocap", "imitation", "imitation_dm"],
+                   help="TRUE-reward env config; the learning signal is "
+                        "always the discriminator's (gail.py:78-87)")
+    p.add_argument("--control-mode", default="torque",
+                   choices=["torque", "pd", "pd_residual"])
+    p.add_argument("--n-substeps", type=int, default=1)
+    p.add_argument("--max-episode-steps", type=int, default=0)
+    p.add_argument("--obs-mode", default=None, choices=["legacy", "full"])
+    p.add_argument("--termination", default=None,
+                   choices=["com", "fall_contact"])
+    p.add_argument("--reset-mode", default="noise",
+                   choices=["noise", "rsi"])
+    p.add_argument("--fixed-logstd", type=float, default=None)
+    p.add_argument("--hidden-sizes", default=None,
+                   help="comma list, e.g. 1024,512")
+    p.add_argument("--activation", default="tanh", choices=["tanh", "relu"])
+    p.add_argument("--save-per-iter", type=int, default=100)
     return p
 
 
@@ -63,15 +84,27 @@ def main(argv=None) -> None:
     from deepmimic_mujoco_tpu.models import MlpPolicy
     from deepmimic_mujoco_tpu.utils import logger
 
-    env = DPEnvV3(clip=args.motion)
-    policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
+    env = DPEnvV3(
+        clip=args.motion, reward_mode=args.reward_mode,
+        control_mode=args.control_mode, n_substeps=args.n_substeps,
+        max_episode_steps=args.max_episode_steps, obs_mode=args.obs_mode,
+        termination=args.termination)
+    hidden_sizes = (tuple(int(h) for h in args.hidden_sizes.split(","))
+                    if args.hidden_sizes else None)
+    policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size,
+                       fixed_logstd=args.fixed_logstd,
+                       hidden_sizes=hidden_sizes, activation=args.activation)
     dset = MujocoDset(args.expert_path, traj_limitation=args.traj_limitation)
+    assert dset.obs.shape[1] == env.observation_size, (
+        f"expert obs dim {dset.obs.shape[1]} != env obs dim "
+        f"{env.observation_size} — the expert data was sampled under a "
+        "different env configuration (obs-mode / reward-mode / phase)")
 
     cfg = GAILConfig(
         trpo=TRPOConfig(
             horizon=args.timesteps_per_batch, num_envs=args.num_envs,
             g_step=args.g_step, max_kl=args.max_kl,
-            entcoeff=args.policy_entcoeff,
+            entcoeff=args.policy_entcoeff, reset_mode=args.reset_mode,
         ),
         d_step=args.d_step, d_stepsize=args.d_stepsize,
         d_exact=bool(args.d_exact),
@@ -136,7 +169,7 @@ def main(argv=None) -> None:
         logger.record_tabular("TimestepsSoFar", timesteps)
         logger.record_tabular("TimeElapsed", time.time() - tstart)
         logger.dump_tabular()
-        if iters % 100 == 0:
+        if iters % args.save_per_iter == 0:
             checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
     checkpoint.save(os.path.join(ckpt_dir, "gail_state"), state)
     monitor.close()

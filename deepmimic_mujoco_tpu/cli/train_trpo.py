@@ -75,8 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-iters", type=int, default=0,
                    help="stop after N iterations instead of timesteps")
     p.add_argument("--eval-episodes", type=int, default=100)
+    p.add_argument("--eval-horizon", type=int, default=1024,
+                   help="max steps per evaluated episode (reference runner "
+                        "horizon, trpo.py:418); shrink to the env's episode "
+                        "cap to cut compile/runtime")
     p.add_argument("--sample-save-path", default=None)
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--warm-iterations", type=int, default=-1,
+                   help=">=0 sets PhysicsModel.warm_iterations: constraint "
+                        "solves warm-start across integrator stages at this "
+                        "reduced budget (0 disables; -1 keeps the model "
+                        "default)")
     p.add_argument("--dynamics", default="jax", choices=["jax", "mujoco"],
                    help="physics backend: jitted JAX engine, or real MuJoCo "
                         "behind a host callback (golden A/B runs, CPU only)")
@@ -132,6 +141,15 @@ def main(argv=None) -> None:
     from deepmimic_mujoco_tpu.io_utils import checkpoint
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
+    model = None
+    if args.warm_iterations >= 0:
+        import dataclasses
+
+        from deepmimic_mujoco_tpu.physics import build_humanoid
+
+        model = dataclasses.replace(build_humanoid(),
+                                    warm_iterations=args.warm_iterations)
+
     if "," in args.motion:
         # multi-skill imitation: one policy over several clips.  The env only
         # supports PD control + imitation rewards on the JAX backend — warn
@@ -158,7 +176,7 @@ def main(argv=None) -> None:
             warnings.warn("multi-clip requires >=2 substeps (30 Hz control); "
                           f"--n-substeps {args.n_substeps} raised to 2")
         env = DPEnvV3Multi(
-            clips=tuple(args.motion.split(",")),
+            clips=tuple(args.motion.split(",")), model=model,
             control_mode=(args.control_mode if args.control_mode != "torque"
                           else "pd_residual"),
             reward_mode=reward_mode,
@@ -174,6 +192,10 @@ def main(argv=None) -> None:
         env_cls = {"DPEnvV1": DPEnvV1, "DPEnvV2": DPEnvV2,
                    "DPEnvV3": DPEnvV3}[args.env_id]
         env_kwargs = {"clip": args.motion}
+        if model is not None:
+            assert args.env_id == "DPEnvV3", \
+                "--warm-iterations requires DPEnvV3"
+            env_kwargs["model"] = model
         if args.env_id == "DPEnvV3":
             env_kwargs.update(
                 reward_mode=args.reward_mode, dynamics=args.dynamics,
@@ -230,7 +252,7 @@ def main(argv=None) -> None:
             state = checkpoint.load(args.load_model_path, state)
         avg_len, avg_ret = evaluate(
             env, policy, state.params, jax.random.PRNGKey(args.seed),
-            n_episodes=args.eval_episodes,
+            n_episodes=args.eval_episodes, horizon=args.eval_horizon,
             stochastic=(args.task == "sample"),
             save_path=args.sample_save_path,
             reset_mode=args.eval_reset,

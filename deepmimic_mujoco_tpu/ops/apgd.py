@@ -65,7 +65,7 @@ def _group_perm(nc: int, nl: int):
     return perm, inv
 
 
-def _apgd_kernel(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
+def _apgd_kernel(a_ref, b_ref, mu_ref, f0_ref, f_ref, *, iterations, nc, nl):
     a = a_ref[:]          # (BLK, ne, ne)
     b = b_ref[:]          # (BLK, ne)
     mu = mu_ref[:]        # (BLK, nc)
@@ -84,7 +84,7 @@ def _apgd_kernel(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
         return f_new, y_new, t_new
 
-    f0 = jnp.zeros_like(b)
+    f0 = _project(f0_ref[:], mu, nc, nl)   # warm start (zeros when cold)
     f, _, _ = jax.lax.fori_loop(
         0, iterations, body, (f0, f0, jnp.asarray(1.0, jnp.float32)))
     f_ref[:] = f
@@ -113,7 +113,8 @@ def _project_lanes(f, mu, nc, nl):
     return jnp.concatenate([fn_out, f1_out, f2_out, fl], axis=0)
 
 
-def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
+def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f0_ref, f_ref, *,
+                       iterations, nc, nl):
     """Lane-major APGD block: env batch in the 128-lane axis.
 
     a: (ne, ne, BLK), b: (ne, BLK), mu: (nc, BLK).  The per-env matvec
@@ -135,7 +136,7 @@ def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
         return f_new, y_new, t_new
 
-    f0 = jnp.zeros_like(b)
+    f0 = _project_lanes(f0_ref[:], mu, nc, nl)   # warm start
     f, _, _ = jax.lax.fori_loop(
         0, iterations, body, (f0, f0, jnp.asarray(1.0, jnp.float32)))
     f_ref[:] = f
@@ -143,11 +144,12 @@ def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f_ref, *, iterations, nc, nl):
 
 @functools.partial(jax.jit, static_argnames=("iterations", "nc", "nl",
                                              "block", "interpret"))
-def apgd_solve_lanes(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
+def apgd_solve_lanes(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray,
+                     f0: jnp.ndarray, *,
                      iterations: int, nc: int, nl: int, block: int = 128,
                      interpret: bool = False) -> jnp.ndarray:
     """Batched APGD in lane-major grouped layout: a (ne, ne, B), b (ne, B),
-    mu (nc, B) → f (ne, B).  B must be a multiple of ``block``."""
+    mu (nc, B), f0 (ne, B) → f (ne, B).  B must be a multiple of ``block``."""
     ne = a.shape[0]
     B = a.shape[-1]
     assert B % block == 0, f"batch {B} not divisible by block {block}"
@@ -165,17 +167,20 @@ def apgd_solve_lanes(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ne, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ne, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a, b, mu)
+    )(a, b, mu, f0)
 
 
-def _apgd_scan(a, b, mu, *, iterations, nc, nl):
+def _apgd_scan(a, b, mu, f0, *, iterations, nc, nl):
     """Per-env reference implementation (XLA scan) — also the grad-safe and
     CPU path.  Takes the INTERLEAVED [n,t1,t2]-triple layout and permutes to
-    the grouped layout internally (pure relabeling — identical iterates)."""
+    the grouped layout internally (pure relabeling — identical iterates).
+    ``f0`` warm-starts the iteration (pass zeros for a cold solve)."""
     perm, inv = _group_perm(nc, nl)
     a = a[perm][:, perm]
     b = b[perm]
@@ -193,7 +198,7 @@ def _apgd_scan(a, b, mu, *, iterations, nc, nl):
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
         return (f_new, y_new, t_new), None
 
-    f0 = jnp.zeros_like(b)
+    f0 = project(f0[perm])
     (f, _, _), _ = jax.lax.scan(
         iteration, (f0, f0, jnp.asarray(1.0, b.dtype)), None,
         length=iterations)
@@ -225,10 +230,19 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
     fn = custom_vmap(scan_impl)
 
     @fn.def_vmap
-    def _rule(axis_size, in_batched, a, b, mu):
-        assert all(in_batched), "APGD inputs must all be batched under vmap"
+    def _rule(axis_size, in_batched, a, b, mu, f0):
+        # constants (e.g. the zeros cold-start f0) arrive unbatched —
+        # broadcast them to the batch rather than requiring callers to
+        def bcast(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size,) + x.shape)
+
+        a = bcast(a, in_batched[0])
+        b = bcast(b, in_batched[1])
+        mu = bcast(mu, in_batched[2])
+        f0 = bcast(f0, in_batched[3])
         if not use_pallas:
-            return jax.vmap(scan_impl)(a, b, mu), True
+            return jax.vmap(scan_impl)(a, b, mu, f0), True
         B = a.shape[0]
         pad = (-B) % block
         if pad:
@@ -237,18 +251,20 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
                 [a, jnp.broadcast_to(jnp.eye(ne, dtype=a.dtype), (pad, ne, ne))])
             b = jnp.concatenate([b, jnp.zeros((pad, ne), b.dtype)])
             mu = jnp.concatenate([mu, jnp.ones((pad, nc), mu.dtype)])
+            f0 = jnp.concatenate([f0, jnp.zeros((pad, f0.shape[-1]), f0.dtype)])
         # interleaved → grouped layout (the kernel's projection works on
         # [fn | ft1 | ft2 | limits] planes; Mosaic can't reshape to triples)
         perm, inv = _group_perm(nc, nl)
         a = a[:, perm][:, :, perm]
         b = b[:, perm]
+        f0 = f0[:, perm]
         if layout == "lanes":
             out = apgd_solve_lanes(
-                jnp.transpose(a, (1, 2, 0)), b.T, mu.T,
+                jnp.transpose(a, (1, 2, 0)), b.T, mu.T, f0.T,
                 iterations=iterations, nc=nc, nl=nl, block=block,
                 interpret=interpret)
             return out.T[:B, inv], True
-        out = apgd_solve(a, b, mu, iterations=iterations, nc=nc, nl=nl,
+        out = apgd_solve(a, b, mu, f0, iterations=iterations, nc=nc, nl=nl,
                          block=block, interpret=interpret)
         return out[:B, inv], True
 
@@ -257,13 +273,14 @@ def make_apgd(iterations: int, nc: int, nl: int, use_pallas: bool,
 
 @functools.partial(jax.jit, static_argnames=("iterations", "nc", "nl",
                                              "block", "interpret"))
-def apgd_solve(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
+def apgd_solve(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray,
+               f0: jnp.ndarray, *,
                iterations: int, nc: int, nl: int, block: int = 8,
                interpret: bool = False) -> jnp.ndarray:
     """Batched APGD solve in the GROUPED constraint layout
     ``[fn(nc) | ft1(nc) | ft2(nc) | limits(nl)]`` (see ``_group_perm``).
 
-    a: (B, ne, ne); b: (B, ne); mu: (B, nc) → f (B, ne).
+    a: (B, ne, ne); b: (B, ne); mu: (B, nc); f0: (B, ne) → f (B, ne).
     B must be a multiple of ``block`` (callers pad)."""
     B, ne, _ = a.shape
     assert B % block == 0, f"batch {B} not divisible by block {block}"
@@ -280,8 +297,10 @@ def apgd_solve(a: jnp.ndarray, b: jnp.ndarray, mu: jnp.ndarray, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, nc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, ne), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, ne), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a, b, mu)
+    )(a, b, mu, f0)

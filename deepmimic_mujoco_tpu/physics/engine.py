@@ -128,13 +128,18 @@ def calibrate_minv_mode(model: PhysicsModel, n_samples: int = 8,
 
 def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
             ctrl: jnp.ndarray, extra_damping: float = 0.0,
-            qfrc_applied: jnp.ndarray | None = None) -> Forward:
+            qfrc_applied: jnp.ndarray | None = None,
+            f_warm: jnp.ndarray | None = None,
+            solver_iterations: int | None = None) -> Forward:
     """Forward dynamics: qacc given (qpos, qvel, ctrl).
 
     ``extra_damping`` adds dt·damping to the hinge diagonal of M (used by the
     semi-implicit Euler integrator, MuJoCo mj_Euler behaviour).
     ``qfrc_applied`` adds a generalized force (nv,) directly — the MuJoCo
     ``qfrc_applied`` channel, used by the PD controller path.
+    ``f_warm``/``solver_iterations`` warm-start the constraint solve from a
+    previous stage's forces with a reduced budget (see
+    PhysicsModel.warm_iterations).
     """
     kin = kinematics.fk(model, qpos)
     m = dynamics.mass_matrix(model, kin)
@@ -154,9 +159,16 @@ def forward(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     contacts = collision.floor_contacts(model, kin)
     limits = collision.joint_limits(model, qpos)
-    sol = solver.solve_constraints(model, m_inv_mul, qacc_smooth, qvel, contacts, limits)
+    sol = solver.solve_constraints(model, m_inv_mul, qacc_smooth, qvel,
+                                   contacts, limits, f_warm=f_warm,
+                                   iterations=solver_iterations)
     qacc = qacc_smooth + m_inv_mul(sol.qfrc_constraint)
     return Forward(qacc=qacc, kin=kin, contact_force=sol.force)
+
+
+def _nefc_full(model: PhysicsModel) -> int:
+    """Length of the full-candidate constraint-force vector."""
+    return int(model.ncand) * 3 + int(model.nhinge)
 
 
 def integrate_pos(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
@@ -169,56 +181,87 @@ def integrate_pos(model: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray,
     return jnp.concatenate([root_pos, root_quat, hinges])
 
 
-def _euler_substep(model: PhysicsModel, qpos, qvel, fwd):
+def _euler_substep(model: PhysicsModel, qpos, qvel, fwd, f_warm):
     """Semi-implicit Euler with implicit joint damping (MuJoCo mj_Euler).
-    ``fwd(qp, qv, extra_damping) → Forward`` supplies the dynamics."""
+    ``fwd(qp, qv, extra_damping, f_warm) → Forward`` supplies the dynamics.
+    Returns (qpos, qvel, contact_force) — the force warm-starts the next
+    substep's solve."""
     dt = model.dt
-    f = fwd(qpos, qvel, dt)
+    f = fwd(qpos, qvel, dt, f_warm)
     qvel_new = qvel + dt * f.qacc
     qpos_new = integrate_pos(model, qpos, qvel_new, dt)
-    return qpos_new, qvel_new
+    return qpos_new, qvel_new, f.contact_force
 
 
-def _rk4_substep(model: PhysicsModel, qpos, qvel, fwd):
+def _rk4_substep(model: PhysicsModel, qpos, qvel, fwd, f_warm):
     """Classic RK4 on (qpos, qvel) with manifold-aware qpos updates
     (MuJoCo mj_RungeKutta semantics, reference XML integrator).
 
     The four stages run as a ``lax.scan`` over the Butcher coefficients so
     the forward-dynamics graph is traced/compiled once instead of four times
-    — a ~4× cut in XLA compile time for every program containing a step."""
+    — a ~4× cut in XLA compile time for every program containing a step.
+    Constraint forces thread through the stage carry: with
+    ``model.warm_iterations`` set, each stage warm-starts its solve from the
+    previous stage's forces (f_warm enters as the stage-1 start)."""
     dt = model.dt
     a_coefs = jnp.asarray([0.0, 0.5, 0.5, 1.0], qvel.dtype)
     b_coefs = jnp.asarray([1.0, 2.0, 2.0, 1.0], qvel.dtype) / 6.0
 
     def stage(carry, coefs):
         a_i, b_i = coefs
-        kv_prev, ka_prev, acc_v, acc_a = carry
+        kv_prev, ka_prev, acc_v, acc_a, f_prev = carry
         qp_i = integrate_pos(model, qpos, kv_prev, dt * a_i)
         qv_i = qvel + dt * a_i * ka_prev
         kv = qv_i
-        ka = fwd(qp_i, qv_i, 0.0).qacc
-        return (kv, ka, acc_v + b_i * kv, acc_a + b_i * ka), None
+        out = fwd(qp_i, qv_i, 0.0, f_prev)
+        ka = out.qacc
+        return (kv, ka, acc_v + b_i * kv, acc_a + b_i * ka,
+                out.contact_force), None
 
     zeros_v = jnp.zeros_like(qvel)
-    carry0 = (zeros_v, zeros_v, zeros_v, zeros_v)
-    (_, _, v_avg, a_avg), _ = jax.lax.scan(stage, carry0, (a_coefs, b_coefs))
+    carry0 = (zeros_v, zeros_v, zeros_v, zeros_v, f_warm)
+    (_, _, v_avg, a_avg, f_last), _ = jax.lax.scan(
+        stage, carry0, (a_coefs, b_coefs))
     qpos_new = integrate_pos(model, qpos, v_avg, dt)
     qvel_new = qvel + dt * a_avg
-    return qpos_new, qvel_new
+    return qpos_new, qvel_new, f_last
 
 
 def _substep(integrator: str):
     return _rk4_substep if integrator == "rk4" else _euler_substep
 
 
+def _make_fwd(model: PhysicsModel, ctrl_fn):
+    """Stage-dynamics closure ``fwd(qp, qv, extra_damping, f_prev)``.
+    ``ctrl_fn(qp, qv) → (ctrl, qfrc_applied)``.  With warm_iterations set,
+    every solve warm-starts from the carried forces at the reduced budget
+    (the step entry passes zeros, so the first solve is effectively a cold
+    solve at that budget — validated against the divergence budgets in
+    tests/test_physics.py)."""
+    warm_n = int(getattr(model, "warm_iterations", 0))
+
+    def fwd(qp, qv, extra_damping, f_prev):
+        ctrl, qfrc = ctrl_fn(qp, qv)
+        return forward(model, qp, qv, ctrl, extra_damping,
+                       qfrc_applied=qfrc,
+                       f_warm=(f_prev if warm_n > 0 else None),
+                       solver_iterations=(warm_n if warm_n > 0 else None))
+
+    return fwd
+
+
 def step_euler(model: PhysicsModel, qpos, qvel, ctrl):
-    fwd = lambda qp, qv, ed: forward(model, qp, qv, ctrl, ed)
-    return _euler_substep(model, qpos, qvel, fwd)
+    fwd = _make_fwd(model, lambda qp, qv: (ctrl, None))
+    f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
+    qp, qv, _ = _euler_substep(model, qpos, qvel, fwd, f0)
+    return qp, qv
 
 
 def step_rk4(model: PhysicsModel, qpos, qvel, ctrl):
-    fwd = lambda qp, qv, ed: forward(model, qp, qv, ctrl, ed)
-    return _rk4_substep(model, qpos, qvel, fwd)
+    fwd = _make_fwd(model, lambda qp, qv: (ctrl, None))
+    f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
+    qp, qv, _ = _rk4_substep(model, qpos, qvel, fwd, f0)
+    return qp, qv
 
 
 def pd_torque(model: PhysicsModel, target: jnp.ndarray, qpos: jnp.ndarray,
@@ -252,32 +295,34 @@ def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
 def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
                   kp, kd, n_substeps: int = 1):
     zero_ctrl = jnp.zeros(model.nu, qvel.dtype)
-
-    def fwd(qp, qv, extra_damping):
-        return forward(model, qp, qv, zero_ctrl, extra_damping,
-                       qfrc_applied=pd_torque(model, target, qp, qv, kp, kd))
-
+    fwd = _make_fwd(
+        model,
+        lambda qp, qv: (zero_ctrl, pd_torque(model, target, qp, qv, kp, kd)))
     sub = _substep(integrator)
+    f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
 
     def body(carry, _):
-        qp, qv = carry
-        return sub(model, qp, qv, fwd), None
+        qp, qv, f = carry
+        return sub(model, qp, qv, fwd, f), None
 
-    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, length=n_substeps)
+    (qpos, qvel, _), _ = jax.lax.scan(
+        body, (qpos, qvel, f0), None, length=n_substeps)
     return qpos, qvel
 
 
 @partial(jax.jit, static_argnums=0, static_argnames=("n_substeps",))
 def _step_impl(integrator: str, model: PhysicsModel, qpos, qvel, ctrl,
                n_substeps: int = 1):
-    stepper = step_rk4 if integrator == "rk4" else step_euler
+    fwd = _make_fwd(model, lambda qp, qv: (ctrl, None))
+    sub = _substep(integrator)
+    f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
 
     def body(carry, _):
-        qp, qv = carry
-        qp, qv = stepper(model, qp, qv, ctrl)
-        return (qp, qv), None
+        qp, qv, f = carry
+        return sub(model, qp, qv, fwd, f), None
 
-    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, length=n_substeps)
+    (qpos, qvel, _), _ = jax.lax.scan(
+        body, (qpos, qvel, f0), None, length=n_substeps)
     return qpos, qvel
 
 

@@ -81,6 +81,15 @@ class PhysicsModel:
     solver_mode: str = "apgd"
     dt: float = 0.0166
     iterations: int = 50
+    # >0 enables warm-started solves: every constraint solve within a
+    # control step starts from the previous integrator stage/substep's
+    # forces (the first solve of the step starts from zero) and uses this
+    # REDUCED uniform iteration budget.  The dual problems of adjacent
+    # stages differ only O(dt), so a warm iterate reaches cold-``iterations``
+    # accuracy in far fewer passes — and every APGD pass re-streams the
+    # (B, ne, ne) dual matrix from HBM, the rollout's dominant bandwidth
+    # cost.  0 = cold solves at ``iterations`` everywhere (legacy).
+    warm_iterations: int = 0
     integrator: str = "rk4"           # "rk4" | "euler"
     nbody: int = 0
     nq: int = 0
@@ -113,9 +122,9 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "parent", "max_contacts", "max_limits", "minv_mode", "solver_mode",
-        "dt", "iterations", "integrator", "nbody", "nq", "nv", "nhinge",
-        "nu", "ncand", "body_hinges", "geom_type", "body_names",
-        "geom_names", "hinge_names",
+        "dt", "iterations", "warm_iterations", "integrator", "nbody", "nq",
+        "nv", "nhinge", "nu", "ncand", "body_hinges", "geom_type",
+        "body_names", "geom_names", "hinge_names",
     ],
 )
 

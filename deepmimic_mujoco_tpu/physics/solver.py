@@ -94,7 +94,8 @@ class EfcSolution(NamedTuple):
 
 
 def pgs_solve(a: jnp.ndarray, bvec: jnp.ndarray, mu: jnp.ndarray,
-              nc: int, nl: int, n_sweeps: int) -> jnp.ndarray:
+              nc: int, nl: int, n_sweeps: int,
+              f0: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sequential projected Gauss–Seidel sweeps over the same dual system —
     the structure of MuJoCo 2.0's PGS solver (the reference XML's
     ``solver="PGS"``, asset/dp_env_v3.xml:9): per contact 3-block, a
@@ -128,7 +129,8 @@ def pgs_solve(a: jnp.ndarray, bvec: jnp.ndarray, mu: jnp.ndarray,
         f = jax.lax.fori_loop(0, nl, limit_body, f)
         return f, None
 
-    f0 = jnp.zeros(ne, a.dtype)
+    if f0 is None:
+        f0 = jnp.zeros(ne, a.dtype)
     f, _ = jax.lax.scan(one_sweep, f0, None, length=n_sweeps)
     return f
 
@@ -140,13 +142,22 @@ def solve_constraints(
     qvel: jnp.ndarray,
     contacts: Contacts,
     limits: Limits,
+    f_warm: jnp.ndarray | None = None,   # (ncand*3 + nl_full,) warm start
+    iterations: int | None = None,
 ) -> EfcSolution:
     """Solve for constraint forces.  Before assembly, the candidate set is
     reduced to the ``max_contacts``/``max_limits`` *deepest* rows via top-k —
     identical forces as long as the number of simultaneously active
     constraints stays within the caps (inactive rows contribute zero), at a
     fraction of the dense-solve cost.  Returns forces scattered back to the
-    full candidate layout."""
+    full candidate layout.
+
+    ``f_warm`` (full candidate layout, e.g. a previous stage's
+    ``EfcSolution.force``) warm-starts the iterative solve: the returned
+    solution for a nearby state is a far better initial iterate than zero,
+    so a reduced ``iterations`` budget reaches the same accuracy — the
+    integrator exploits this across RK4 stages/substeps (engine._rk4_substep,
+    PhysicsModel.warm_iterations)."""
     nv = model.nv
     nc_full = contacts.pos.shape[0]
     nl_full = limits.pos.shape[0]
@@ -206,17 +217,28 @@ def solve_constraints(
     a = a + jnp.diag(r)
     bvec = j @ qacc_smooth - aref
 
+    n_iters = int(model.iterations) if iterations is None else int(iterations)
+    # warm start: gather the previous solution's rows for the current
+    # selection (selection may differ between stages — full-layout carry
+    # makes the warm start selection-independent)
+    if f_warm is None:
+        f0 = jnp.zeros(ne, dtype)
+    else:
+        c_rows = (c_sel[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
+        f0 = jnp.concatenate(
+            [f_warm[c_rows], f_warm[nc_full * 3 + lim_dof]])
+        f0 = jnp.where(act_rows, f0, 0.0)
+
     if getattr(model, "solver_mode", "apgd") == "pgs":
         # PGS-compatible sequential sweeps (parity mode for CPU A/B runs)
-        f = pgs_solve(a, bvec, contacts.mu, int(nc), int(nl),
-                      int(model.iterations))
+        f = pgs_solve(a, bvec, contacts.mu, int(nc), int(nl), n_iters, f0)
     else:
         # APGD iteration (Pallas kernel under vmap on TPU; XLA scan
         # otherwise — see ops/apgd.py)
         from deepmimic_mujoco_tpu.ops.apgd import make_apgd
 
-        apgd = make_apgd(int(model.iterations), int(nc), int(nl), use_pallas())
-        f = apgd(a, bvec, contacts.mu)
+        apgd = make_apgd(n_iters, int(nc), int(nl), use_pallas())
+        f = apgd(a, bvec, contacts.mu, f0)
     f = jnp.where(act_rows, f, 0.0)
 
     qfrc = j.T @ f

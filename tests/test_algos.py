@@ -344,6 +344,43 @@ class TestGAILSmoke:
         assert int(state.expert_ptr) == 32 % n_exp
         assert np.isfinite(float(stats.d_loss))
 
+    def test_per_episode_records(self):
+        """GAILStats carries true per-episode rows (r3): ep_lens marks
+        episode ends, ep_rets holds the DISCRIMINATOR return and
+        true_ep_rets the aligned TRUE env return — the monitor records real
+        episodes, not repeated per-iteration means."""
+        from deepmimic_mujoco_tpu.algos.gail import GAIL, GAILConfig
+        from deepmimic_mujoco_tpu.algos.trpo import TRPOConfig
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+
+        # max_episode_steps forces deterministic episode ends inside the
+        # segment so the record arrays are exercised
+        env = DPEnvV3(clip="walk", max_episode_steps=5)
+        policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=28)
+        rng = np.random.RandomState(0)
+        cfg = GAILConfig(
+            trpo=TRPOConfig(horizon=12, num_envs=2, g_step=1, cg_iters=2,
+                            vf_iters=1, vf_batch_size=4,
+                            line_search_steps=2),
+            d_batches=2,
+        )
+        learner = GAIL(env, policy, rng.randn(64, env.observation_size),
+                       rng.randn(64, 28), cfg)
+        state = learner.init(jax.random.PRNGKey(0))
+        state, stats = learner.iteration(state)
+        lens = np.asarray(stats.trpo.ep_lens).reshape(-1)
+        rets = np.asarray(stats.trpo.ep_rets).reshape(-1)
+        trues = np.asarray(stats.true_ep_rets).reshape(-1)
+        assert lens.shape == rets.shape == trues.shape
+        ended = lens > 0
+        assert ended.sum() == int(stats.trpo.ep_count) > 0
+        # alive-reward env: every episode's true return == its length
+        np.testing.assert_allclose(trues[ended], lens[ended], rtol=1e-5)
+        # discriminator return sums match the aggregate stat
+        np.testing.assert_allclose(rets.sum(), float(stats.trpo.ep_ret_sum),
+                                   rtol=1e-4)
+
 
 class TestPPO:
     """Vectorized clipped-PPO (algos/ppo.py)."""

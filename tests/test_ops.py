@@ -26,13 +26,13 @@ class TestAPGD:
         nc, nl, B = 4, 5, 8
         A, b, mu = _random_problem(rng, B, nc, nl)
         scan_out = jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=60,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=60,
                                                nc=nc, nl=nl))(A, b, mu)
         # apgd_solve's contract is the GROUPED [fn|ft1|ft2|lim] layout;
         # permute interleaved inputs in and the solution back out.
         perm, inv = apgd._group_perm(nc, nl)
         pallas_out = apgd.apgd_solve(
-            A[:, perm][:, :, perm], b[:, perm], mu,
+            A[:, perm][:, :, perm], b[:, perm], mu, jnp.zeros_like(b),
             iterations=60, nc=nc, nl=nl, block=4, interpret=True)[:, inv]
         np.testing.assert_allclose(
             np.asarray(pallas_out), np.asarray(scan_out), atol=1e-4)
@@ -43,9 +43,9 @@ class TestAPGD:
         nc, nl, B = 3, 2, 5
         A, b, mu = _random_problem(rng, B, nc, nl)
         fn = apgd.make_apgd(40, nc, nl, use_pallas=False)
-        out_v = jax.vmap(fn)(A, b, mu)
+        out_v = jax.vmap(fn)(A, b, mu, jnp.zeros_like(b))
         out_s = jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=40,
                                                nc=nc, nl=nl))(A, b, mu)
         np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_s),
                                    atol=1e-6)
@@ -57,9 +57,9 @@ class TestAPGD:
         A, b, mu = _random_problem(rng, B, nc, nl)
         fn = apgd.make_apgd(40, nc, nl, use_pallas=True, block=4,
                             interpret=True)
-        out = jax.vmap(fn)(A, b, mu)
+        out = jax.vmap(fn)(A, b, mu, jnp.zeros_like(b))
         ref = jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=40,
                                                nc=nc, nl=nl))(A, b, mu)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
@@ -70,12 +70,13 @@ class TestAPGD:
         nc, nl, B = 4, 5, 8
         A, b, mu = _random_problem(rng, B, nc, nl)
         scan_out = jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=60,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=60,
                                                nc=nc, nl=nl))(A, b, mu)
         perm, inv = apgd._group_perm(nc, nl)
         Ag = A[:, perm][:, :, perm]
         out = apgd.apgd_solve_lanes(
             jnp.transpose(Ag, (1, 2, 0)), b[:, perm].T, mu.T,
+            jnp.zeros_like(b).T,
             iterations=60, nc=nc, nl=nl, block=4, interpret=True)
         np.testing.assert_allclose(np.asarray(out.T[:, inv]),
                                    np.asarray(scan_out), atol=1e-4)
@@ -88,9 +89,9 @@ class TestAPGD:
         A, b, mu = _random_problem(rng, B, nc, nl)
         fn = apgd.make_apgd(40, nc, nl, use_pallas=True, block=4,
                             interpret=True, layout="lanes")
-        out = jax.vmap(fn)(A, b, mu)
+        out = jax.vmap(fn)(A, b, mu, jnp.zeros_like(b))
         ref = jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=40,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=40,
                                                nc=nc, nl=nl))(A, b, mu)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
@@ -100,7 +101,7 @@ class TestAPGD:
         nc, nl, B = 4, 3, 4
         A, b, mu = _random_problem(rng, B, nc, nl)
         out = np.asarray(jax.vmap(
-            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, iterations=100,
+            lambda a_, b_, m_: apgd._apgd_scan(a_, b_, m_, jnp.zeros_like(b_), iterations=100,
                                                nc=nc, nl=nl))(A, b, mu))
         fc = out[:, : nc * 3].reshape(B, nc, 3)
         fn_ = fc[..., 0]
@@ -108,3 +109,58 @@ class TestAPGD:
         assert (fn_ >= -1e-6).all()
         assert (ft <= fn_ * 1.0 + 1e-4).all()
         assert (out[:, nc * 3:] >= -1e-6).all()
+
+    def test_warm_start_accelerates_convergence(self):
+        """A warm start from a near-solution reaches the converged answer in
+        far fewer iterations than a cold start — the property the integrator
+        exploits across RK4 stages (PhysicsModel.warm_iterations)."""
+        rng = np.random.RandomState(6)
+        nc, nl = 4, 5
+        A, b, mu = _random_problem(rng, 1, nc, nl)
+        a_, b_, m_ = A[0], b[0], mu[0]
+        zeros = jnp.zeros_like(b_)
+        truth = apgd._apgd_scan(a_, b_, m_, zeros, iterations=400,
+                                nc=nc, nl=nl)
+        cold10 = apgd._apgd_scan(a_, b_, m_, zeros, iterations=10,
+                                 nc=nc, nl=nl)
+        warm10 = apgd._apgd_scan(a_, b_, m_, truth + 0.01, iterations=10,
+                                 nc=nc, nl=nl)
+        err_cold = float(jnp.max(jnp.abs(cold10 - truth)))
+        err_warm = float(jnp.max(jnp.abs(warm10 - truth)))
+        assert err_warm < 0.2 * err_cold, (err_warm, err_cold)
+        # warm start from the exact solution is a fixed point (within fp)
+        warm0 = apgd._apgd_scan(a_, b_, m_, truth, iterations=5,
+                                nc=nc, nl=nl)
+        np.testing.assert_allclose(np.asarray(warm0), np.asarray(truth),
+                                   atol=1e-3)
+
+
+class TestWarmIntegration:
+    def test_warm_step_matches_cold_closely(self):
+        """engine.step with warm_iterations=25 stays within a tight budget
+        of the cold-50 default over a contact-rich tracking rollout (full
+        study: tools/warmstart_study.py — warm-25 diverges 0.0019 rad RMS
+        from a 300-iteration truth over 40 steps, vs cold-50's 0.0007)."""
+        import dataclasses
+
+        import jax
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.physics import build_humanoid
+
+        base = build_humanoid()
+        warm = dataclasses.replace(base, warm_iterations=25)
+        qs = {}
+        for name, model in (("cold", base), ("warm", warm)):
+            env = DPEnvV3(clip="walk", model=model, n_substeps=1)
+            s0 = env.reset_at(jax.random.PRNGKey(0), 0)
+            step = jax.jit(env.step)
+            st = s0
+            traj = []
+            for t in range(12):
+                ref = env.clip_qpos[(t + 1) % env.clip_len][7:]
+                st = step(st, 0.8 * (ref - st.qpos[7:]))
+                traj.append(np.asarray(st.qpos))
+            qs[name] = np.stack(traj)
+        rms = float(np.sqrt(np.mean((qs["cold"] - qs["warm"]) ** 2)))
+        assert rms < 5e-3, rms
