@@ -47,7 +47,14 @@ def mass_inverse(m: jnp.ndarray, lo_iters: int = _NS_ITERS_LO,
     precision down to the bf16 floor (~1e-2); quadratic convergence then
     squares the residual twice through the two f32 iterations
     (1e-2 → 1e-4 → 1e-8, i.e. the f32 floor) at a fraction of the cost of
-    running every pass at ``precision='highest'`` (4.6 vs 7.1 ms at B=4096)."""
+    running every pass at ``precision='highest'`` (4.6 vs 7.1 ms at B=4096).
+
+    Negative result (r3, do not retry): warm-starting NS from the previous
+    integrator stage's M⁻¹ (the trick that works for the APGD dual solve,
+    PhysicsModel.warm_iterations) DIVERGES here — measured ‖I − X₀M_new‖∞
+    crosses 1 already at ~0.03-0.05 rad of uniform joint-angle change, well
+    inside one dt·q̇ stage delta for fast clips, and NS blows up outside
+    that radius.  The Jacobi-scaled cold start is the safe path."""
     hi = jax.lax.Precision.HIGHEST
     dinv = 1.0 / jnp.sqrt(jnp.diagonal(m, axis1=-2, axis2=-1))
     b = m * dinv[..., None, :] * dinv[..., :, None]
