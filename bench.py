@@ -51,6 +51,10 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
     warm = int(os.environ.get("BENCH_WARM", "-1"))
     if warm >= 0:
         model = dataclasses.replace(model, warm_iterations=warm)
+    # BENCH_SOLVER_DTYPE=bf16: store the APGD dual matrix in bf16
+    sdtype = os.environ.get("BENCH_SOLVER_DTYPE", "")
+    if sdtype:
+        model = dataclasses.replace(model, solver_dtype=sdtype)
     env = DPEnvV3(clip="walk", model=model)
     policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
     cfg = TRPOConfig(horizon=horizon, num_envs=num_envs, g_step=1)

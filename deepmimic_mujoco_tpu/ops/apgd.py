@@ -66,7 +66,9 @@ def _group_perm(nc: int, nl: int):
 
 
 def _apgd_kernel(a_ref, b_ref, mu_ref, f0_ref, f_ref, *, iterations, nc, nl):
-    a = a_ref[:]          # (BLK, ne, ne)
+    # A may be stored bf16 (solver_dtype) — the HBM→VMEM copy moves the
+    # half-width buffer; compute in f32 on-chip
+    a = a_ref[:].astype(jnp.float32)   # (BLK, ne, ne)
     b = b_ref[:]          # (BLK, ne)
     mu = mu_ref[:]        # (BLK, nc)
     lip = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)  # (BLK,)
@@ -122,7 +124,7 @@ def _apgd_kernel_lanes(a_ref, b_ref, mu_ref, f0_ref, f_ref, *,
     sublane reduction of (ne, BLK) tiles — fully vectorized on the VPU,
     with A resident in VMEM across all iterations (read from HBM once per
     solve instead of once per iteration)."""
-    a = a_ref[:]
+    a = a_ref[:].astype(jnp.float32)   # bf16 storage supported (solver_dtype)
     b = b_ref[:]
     mu = mu_ref[:]
     lip = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=0)      # (BLK,)
@@ -184,7 +186,10 @@ def _apgd_scan(a, b, mu, f0, *, iterations, nc, nl):
     perm, inv = _group_perm(nc, nl)
     a = a[perm][:, perm]
     b = b[perm]
-    lip = jnp.max(jnp.sum(jnp.abs(a), axis=-1))
+    # A may arrive in bf16 (PhysicsModel.solver_dtype) — the Lipschitz
+    # bound must accumulate in f32 (a bf16 row-sum could round low and
+    # overshoot the 1/L step); the matvec promotes to f32 on its own
+    lip = jnp.max(jnp.sum(jnp.abs(a).astype(jnp.float32), axis=-1))
     step = 1.0 / jnp.maximum(lip, 1e-8)
 
     def project(f):
@@ -192,7 +197,7 @@ def _apgd_scan(a, b, mu, f0, *, iterations, nc, nl):
 
     def iteration(carry, _):
         f, y, t = carry
-        g = a @ y + b
+        g = jnp.matmul(a.astype(jnp.float32), y) + b
         f_new = project(y - step * g)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)

@@ -90,6 +90,13 @@ class PhysicsModel:
     # (B, ne, ne) dual matrix from HBM, the rollout's dominant bandwidth
     # cost.  0 = cold solves at ``iterations`` everywhere (legacy).
     warm_iterations: int = 0
+    # dtype the assembled dual matrix A is STORED in for the APGD solve:
+    # "bf16" halves the bytes every APGD pass re-streams from HBM (the
+    # rollout's dominant bandwidth cost; iterates/b/projections stay f32).
+    # A is perturbed ~0.4% relative — far below the 50-iteration truncation
+    # already accepted.  "f32" = exact legacy behaviour.  PGS (the CPU
+    # parity mode) always solves in f32.
+    solver_dtype: str = "f32"
     integrator: str = "rk4"           # "rk4" | "euler"
     nbody: int = 0
     nq: int = 0
@@ -122,9 +129,9 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "parent", "max_contacts", "max_limits", "minv_mode", "solver_mode",
-        "dt", "iterations", "warm_iterations", "integrator", "nbody", "nq",
-        "nv", "nhinge", "nu", "ncand", "body_hinges", "geom_type",
-        "body_names", "geom_names", "hinge_names",
+        "dt", "iterations", "warm_iterations", "solver_dtype", "integrator",
+        "nbody", "nq", "nv", "nhinge", "nu", "ncand", "body_hinges",
+        "geom_type", "body_names", "geom_names", "hinge_names",
     ],
 )
 

@@ -234,11 +234,16 @@ def solve_constraints(
         f = pgs_solve(a, bvec, contacts.mu, int(nc), int(nl), n_iters, f0)
     else:
         # APGD iteration (Pallas kernel under vmap on TPU; XLA scan
-        # otherwise — see ops/apgd.py)
+        # otherwise — see ops/apgd.py).  solver_dtype='bf16' stores A in
+        # bf16 so each of the n_iters matvec passes streams half the bytes
+        # (iterates stay f32; see PhysicsModel.solver_dtype).
         from deepmimic_mujoco_tpu.ops.apgd import make_apgd
 
+        a_solve = a
+        if getattr(model, "solver_dtype", "f32") == "bf16":
+            a_solve = a.astype(jnp.bfloat16)
         apgd = make_apgd(n_iters, int(nc), int(nl), use_pallas())
-        f = apgd(a, bvec, contacts.mu, f0)
+        f = apgd(a_solve, bvec, contacts.mu, f0)
     f = jnp.where(act_rows, f, 0.0)
 
     qfrc = j.T @ f

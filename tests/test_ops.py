@@ -164,3 +164,46 @@ class TestWarmIntegration:
             qs[name] = np.stack(traj)
         rms = float(np.sqrt(np.mean((qs["cold"] - qs["warm"]) ** 2)))
         assert rms < 5e-3, rms
+
+    def test_bf16_dual_matrix_close_to_f32(self):
+        """solver_dtype='bf16' (A stored half-width for the APGD matvec
+        streaming) perturbs the solve ~0.4% — trajectories stay within a
+        tight budget of the f32 default."""
+        import dataclasses
+
+        import jax
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.physics import build_humanoid
+
+        base = build_humanoid()
+        bf16 = dataclasses.replace(base, solver_dtype="bf16")
+        qs = {}
+        for name, model in (("f32", base), ("bf16", bf16)):
+            env = DPEnvV3(clip="walk", model=model, n_substeps=1)
+            st = env.reset_at(jax.random.PRNGKey(0), 0)
+            step = jax.jit(env.step)
+            traj = []
+            for t in range(12):
+                ref = env.clip_qpos[(t + 1) % env.clip_len][7:]
+                st = step(st, 0.8 * (ref - st.qpos[7:]))
+                traj.append(np.asarray(st.qpos))
+            qs[name] = np.stack(traj)
+        rms = float(np.sqrt(np.mean((qs["f32"] - qs["bf16"]) ** 2)))
+        assert rms < 5e-3, rms
+
+    def test_scan_accepts_bf16_a(self):
+        """_apgd_scan on a bf16-stored A converges to the f32 solution
+        within the storage-perturbation budget."""
+        rng = np.random.RandomState(7)
+        nc, nl = 4, 5
+        A, b, mu = _random_problem(rng, 1, nc, nl)
+        z = jnp.zeros_like(b[0])
+        f32 = apgd._apgd_scan(A[0], b[0], mu[0], z, iterations=120,
+                              nc=nc, nl=nl)
+        bf16 = apgd._apgd_scan(A[0].astype(jnp.bfloat16), b[0], mu[0], z,
+                               iterations=120, nc=nc, nl=nl)
+        assert bf16.dtype == jnp.float32
+        err = float(jnp.max(jnp.abs(bf16 - f32)))
+        scale = float(jnp.max(jnp.abs(f32))) + 1e-6
+        assert err < 0.03 * scale, (err, scale)

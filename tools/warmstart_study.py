@@ -56,6 +56,9 @@ def main():
         "warm25": dataclasses.replace(base, warm_iterations=25),
         "warm15": dataclasses.replace(base, warm_iterations=15),
         "warm10": dataclasses.replace(base, warm_iterations=10),
+        "bf16": dataclasses.replace(base, solver_dtype="bf16"),
+        "warm25+bf16": dataclasses.replace(base, warm_iterations=25,
+                                           solver_dtype="bf16"),
     }
     trajs = {}
     for name, model in configs.items():
