@@ -10,6 +10,8 @@ be used for validation and rendering.
 
 from __future__ import annotations
 
+import dataclasses
+
 from deepmimic_mujoco_tpu.physics.inertia import BOX, CAPSULE, SPHERE
 from deepmimic_mujoco_tpu.physics.model import ModelBuilder, PhysicsModel
 
@@ -98,11 +100,21 @@ _JOINT_ORDER = [
 
 def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
                    iterations: int = 50, contact_cap: int = 16,
-                   limit_cap: int = 16) -> PhysicsModel:
+                   limit_cap: int = 16, warm_iterations: int = 25,
+                   solver_dtype: str = "bf16") -> PhysicsModel:
     """``contact_cap``/``limit_cap`` bound the number of *simultaneously
     active* constraint rows the solver resolves (deepest-first top-k).  16 is
     ample for upright/locomotion tasks (two feet = 8 corner contacts); pass
-    a large value for full-fidelity pile-up scenarios."""
+    a large value for full-fidelity pile-up scenarios.
+
+    The default solver configuration is the production-fast one: constraint
+    solves are warm-started across RK4 stages/substeps at a 25-iteration
+    budget and the APGD dual matrix is stored in bf16 — together ~4× less
+    HBM re-streaming of the dual matrix, the rollout's dominant bandwidth
+    cost (BASELINE.md r3 analysis), at 0.0019 + 0.0013 rad RMS trajectory
+    cost over 40 contact-rich steps (tools/warmstart_study.py).  Pass
+    ``warm_iterations=0, solver_dtype="f32"`` for the legacy exact-cold
+    configuration (what the solver-exactness tests pin)."""
     b = ModelBuilder(dt=dt, integrator=integrator, iterations=iterations,
                      max_contacts=contact_cap, max_limits=limit_cap)
     for name, parent, pos in _BODIES:
@@ -125,7 +137,9 @@ def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
                 b.add_motor(f"{joint}_{axis_name}", _GEARS[joint])
         else:
             b.add_motor(joint, _GEARS[joint])
-    return b.finalize(root_pos=(0.0, 0.0, 0.9))
+    return dataclasses.replace(
+        b.finalize(root_pos=(0.0, 0.0, 0.9)),
+        warm_iterations=warm_iterations, solver_dtype=solver_dtype)
 
 
 def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,

@@ -22,9 +22,32 @@ jax.config.update("jax_platforms", "cpu")
 # on CPU; cache them across test processes/sessions.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# READ-mostly: this jaxlib segfaults in executable.serialize() when writing
+# large sharded CPU executables to the persistent cache (reproduced twice on
+# tests/test_parallel.py shard_map programs, 2026-08-17, fresh cache dir —
+# crash stack: compilation_cache.put_executable_and_time).  Old entries still
+# serve reads; the effectively-infinite min compile time disables writes.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 import pytest  # noqa: E402
+
+# Compiled executables accumulate in-process (~50 MB/test average; the full
+# suite climbs past 10 GB RSS) and this host's XLA CPU backend segfaults —
+# in compile or executable (de)serialization, not a Python MemoryError —
+# once the process is that large (three distinct late-suite crashes,
+# 2026-08-18).  Dropping JAX's in-memory caches every N tests keeps RSS
+# bounded; cross-test jit reuse within a module survives between flushes.
+_CLEAR_EVERY = 40
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bounded_jax_cache():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+
 
 REFERENCE_DIR = "/root/reference"
 

@@ -148,7 +148,7 @@ class TestWarmIntegration:
         from deepmimic_mujoco_tpu.envs import DPEnvV3
         from deepmimic_mujoco_tpu.physics import build_humanoid
 
-        base = build_humanoid()
+        base = build_humanoid(warm_iterations=0, solver_dtype="f32")
         warm = dataclasses.replace(base, warm_iterations=25)
         qs = {}
         for name, model in (("cold", base), ("warm", warm)):
@@ -176,7 +176,7 @@ class TestWarmIntegration:
         from deepmimic_mujoco_tpu.envs import DPEnvV3
         from deepmimic_mujoco_tpu.physics import build_humanoid
 
-        base = build_humanoid()
+        base = build_humanoid(warm_iterations=0, solver_dtype="f32")
         bf16 = dataclasses.replace(base, solver_dtype="bf16")
         qs = {}
         for name, model in (("f32", base), ("bf16", bf16)):

@@ -49,7 +49,9 @@ def rollout(env, n_steps=40, gain=0.8):
 
 def main():
     results = {}
-    base = build_humanoid()
+    # the study sweeps FROM the exact-cold configuration (build_humanoid
+    # now defaults to warm25+bf16 — the config this study motivated)
+    base = build_humanoid(warm_iterations=0, solver_dtype="f32")
     configs = {
         "cold300": dataclasses.replace(base, iterations=300),
         "cold50": base,
