@@ -45,7 +45,15 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
     from deepmimic_mujoco_tpu.models import MlpPolicy
     from deepmimic_mujoco_tpu.physics import build_humanoid
 
-    model = build_humanoid()
+    # BENCH_CONTACT_CAP / BENCH_LIMIT_CAP: top-k constraint caps (ne =
+    # 3*contact_cap + limit_cap; the dual matrix is (ne, ne)) — A/B knob,
+    # accuracy study in tools/contactcap_study.py; unset = framework default
+    cap_kwargs = {}
+    if os.environ.get("BENCH_CONTACT_CAP", ""):
+        cap_kwargs["contact_cap"] = int(os.environ["BENCH_CONTACT_CAP"])
+    if os.environ.get("BENCH_LIMIT_CAP", ""):
+        cap_kwargs["limit_cap"] = int(os.environ["BENCH_LIMIT_CAP"])
+    model = build_humanoid(**cap_kwargs)
     # BENCH_WARM=K: warm-started constraint solves at K iterations
     # (PhysicsModel.warm_iterations) — A/B knob for the default setting
     warm = int(os.environ.get("BENCH_WARM", "-1"))

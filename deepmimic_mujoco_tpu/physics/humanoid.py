@@ -99,13 +99,18 @@ _JOINT_ORDER = [
 
 
 def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
-                   iterations: int = 50, contact_cap: int = 16,
-                   limit_cap: int = 16, warm_iterations: int = 25,
+                   iterations: int = 50, contact_cap: int = 8,
+                   limit_cap: int = 8, warm_iterations: int = 25,
                    solver_dtype: str = "bf16") -> PhysicsModel:
     """``contact_cap``/``limit_cap`` bound the number of *simultaneously
-    active* constraint rows the solver resolves (deepest-first top-k).  16 is
-    ample for upright/locomotion tasks (two feet = 8 corner contacts); pass
-    a large value for full-fidelity pile-up scenarios.
+    active* constraint rows the solver resolves (deepest-first top-k).  The
+    default 8/8 (dual dimension ne = 32) is measured-exact for this
+    character: P-controller mocap tracking on walk, spinkick AND the prone
+    getup_facedown clip matches the UNCAPPED solve to ≤2e-6 qpos RMS over
+    40 contact-rich steps, and 400 steps of bang-bang ±ctrlrange
+    exploration with RSI restarts peak at 4 active contacts / 6 at-limit
+    hinges (tools/contactcap_study.py, 2026-08-18).  Pass larger caps for
+    multi-body pile-up scenarios beyond the single-humanoid-on-plane task.
 
     The default solver configuration is the production-fast one: constraint
     solves are warm-started across RK4 stages/substeps at a 25-iteration
