@@ -138,6 +138,33 @@ class TestSolverCaps:
             np.asarray(f_cap.contact_force), np.asarray(f_full.contact_force),
             atol=1e-2)
 
+    def test_default_cap8_tracks_uncapped_prone(self):
+        """The r3 default caps (8/8, ne=32) must match the UNCAPPED solve on
+        the worst-case contact regime — P-controller tracking of the PRONE
+        getup_facedown clip (full study: tools/contactcap_study.py, measured
+        ≤2e-6 qpos RMS over 40 steps on walk/spinkick/getup)."""
+        import jax
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.physics import build_humanoid
+
+        trajs = {}
+        for name, model in (
+            ("full", build_humanoid(contact_cap=1 << 30, limit_cap=1 << 30)),
+            ("default", build_humanoid()),
+        ):
+            env = DPEnvV3(clip="getup_facedown", model=model, n_substeps=1)
+            s = env.reset_at(jax.random.PRNGKey(0), 0)
+            step = jax.jit(env.step)
+            qs = []
+            for t in range(12):
+                ref = env.clip_qpos[min(t + 1, env.clip_len - 1)][7:]
+                s = step(s, 0.8 * (ref - s.qpos[7:]))
+                qs.append(np.asarray(s.qpos))
+            trajs[name] = np.stack(qs)
+        rms = float(np.sqrt(np.mean((trajs["full"] - trajs["default"]) ** 2)))
+        assert rms < 1e-4, rms
+
 
 class TestVecNormalize:
     def test_normalized_rollout(self):
