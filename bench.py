@@ -99,6 +99,13 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
             out["hbm_gb_per_s"] = byts / dt / 1e9
             if flops > 0:
                 out["arith_intensity"] = flops / byts
+        if flops > 0 or byts > 0:
+            # XLA cost_analysis counts each while/scan BODY once, not
+            # trip-count times — the rollout scan (horizon × substeps ×
+            # APGD passes) is therefore understated by orders of magnitude.
+            # Comparable across rounds, not an absolute roofline position
+            # (the measured-bandwidth analysis lives in BASELINE.md).
+            out["cost_analysis_note"] = "loop bodies counted once"
     except Exception:
         pass
 

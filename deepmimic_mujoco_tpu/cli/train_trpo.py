@@ -12,6 +12,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 
@@ -236,12 +237,18 @@ def main(argv=None) -> None:
     name = task_name(args)
 
     if args.task == "train":
+        # record the exact recipe next to the logs (the reference loses it;
+        # round-2 runs had to be reconstructed from commit messages)
+        log_dir = os.path.join(args.log_dir, name)
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, indent=1, sort_keys=True)
         train(
             learner, seed=args.seed,
             max_timesteps=args.num_timesteps if not args.num_iters else 0,
             max_iters=args.num_iters,
             ckpt_dir=os.path.join(args.checkpoint_dir, name),
-            log_dir=os.path.join(args.log_dir, name),
+            log_dir=log_dir,
             save_per_iter=args.save_per_iter,
             resume_from=args.pretrained_weight_path,
             override_logstd=args.override_logstd,
