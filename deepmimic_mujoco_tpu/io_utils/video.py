@@ -41,7 +41,7 @@ def render_qpos_trajectory(qpos_traj: np.ndarray, out_path: str,
 
     from deepmimic_mujoco_tpu.physics.humanoid import to_mjcf
 
-    m = mujoco.MjModel.from_xml_string(to_mjcf())
+    m = mujoco.MjModel.from_xml_string(to_mjcf(visual=True))
     d = mujoco.MjData(m)
     renderer = mujoco.Renderer(m, height=height, width=width)
     saver = VideoSaver(width=width, height=height,

@@ -148,9 +148,18 @@ def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
 
 
 def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,
-            integrator: str = "RK4") -> str:
+            integrator: str = "RK4", visual: bool = False) -> str:
     """Emit an MJCF string equivalent to :func:`build_humanoid` for host-side
-    validation against real MuJoCo and for rendering."""
+    validation against real MuJoCo and for rendering.
+
+    ``visual=True`` adds the render-only scene dressing — a procedural checker
+    ground texture and a headlight/ambient setup — the TPU-native equivalent
+    of the reference's vestigial GL assets (grid texture
+    /root/reference/src/data/textures/grid0.png, Lambert shading
+    /root/reference/src/data/shaders/Lighting_Lambert_PS.glsl).  Off by
+    default so the physics-parity consumers (parse_mjcf, mj_host A/B) see an
+    unchanged, purely dynamical model description.
+    """
     lines = [
         '<mujoco model="humanoid_tpu">',
         '  <compiler angle="radian" inertiafromgeom="true"/>',
@@ -160,8 +169,25 @@ def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,
         '    <motor ctrllimited="true" ctrlrange="-0.5 0.5"/>',
         '  </default>',
         f'  <option integrator="{integrator}" iterations="50" solver="PGS" timestep="{timestep}"/>',
+    ]
+    floor_visual = ""
+    if visual:
+        lines += [
+            '  <visual>',
+            '    <headlight ambient="0.4 0.4 0.4" diffuse="0.6 0.6 0.6"/>',
+            '  </visual>',
+            '  <asset>',
+            '    <texture name="grid" type="2d" builtin="checker" '
+            'rgb1="0.2 0.3 0.4" rgb2="0.8 0.8 0.8" width="512" height="512"/>',
+            '    <material name="grid_mat" texture="grid" texrepeat="8 8" '
+            'texuniform="true" reflectance="0.2"/>',
+            '  </asset>',
+        ]
+        floor_visual = ' material="grid_mat"'
+    lines += [
         '  <worldbody>',
-        '    <geom condim="3" friction="1 .1 .1" name="floor" pos="0 0 0" size="50 50 0.2" type="plane"/>',
+        f'    <geom condim="3" friction="1 .1 .1" name="floor" pos="0 0 0" '
+        f'size="50 50 0.2" type="plane"{floor_visual}/>',
     ]
 
     children: dict[str, list[str]] = {}

@@ -37,6 +37,24 @@ class TestMJCFRoundTrip:
         assert model_xml.dt == pytest.approx(model_py.dt)
         assert model_xml.integrator == model_py.integrator
 
+    def test_visual_export_is_render_only(self):
+        # visual=True adds the checker-ground texture + headlight (the
+        # TPU-native stand-in for the reference's GL grid0.png /
+        # Lighting_Lambert shaders); it must not change the dynamical model
+        # our parser extracts, and must remain loadable by host MuJoCo.
+        plain = parse_mjcf(to_mjcf(), contact_cap=16, limit_cap=16)
+        deco = parse_mjcf(to_mjcf(visual=True), contact_cap=16, limit_cap=16)
+        assert deco.body_names == plain.body_names
+        np.testing.assert_allclose(
+            np.asarray(deco.body_mass), np.asarray(plain.body_mass), atol=0)
+        np.testing.assert_allclose(
+            np.asarray(deco.qpos0), np.asarray(plain.qpos0), atol=0)
+        xml = to_mjcf(visual=True)
+        assert 'builtin="checker"' in xml and 'material="grid_mat"' in xml
+        mujoco = pytest.importorskip("mujoco")
+        m = mujoco.MjModel.from_xml_string(xml)
+        assert m.ntex == 1 and m.nmat == 1
+
     def test_same_dynamics(self):
         from deepmimic_mujoco_tpu.physics import engine
 
