@@ -150,37 +150,16 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
     return out
 
 
-def seed_jax_cache(cache_dir: str) -> None:
-    """Seed the (non-persistent, gitignored) compilation cache from the
-    committed warm copy so the bench never pays a cold multi-minute compile
-    on the hosted tunnel.  Entries whose keys no longer match are simply
-    cache misses — seeding is always safe."""
-    import shutil
-
-    seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchdata", "warm_jax_cache")
-    if not os.path.isdir(seed):
-        return
-    os.makedirs(cache_dir, exist_ok=True)
-    for f in os.listdir(seed):
-        dst = os.path.join(cache_dir, f)
-        if not os.path.exists(dst):
-            try:
-                shutil.copyfile(os.path.join(seed, f), dst)
-            except OSError:
-                pass
-
-
 def main() -> None:
     import jax
 
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    seed_jax_cache(cache_dir)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # seed from benchdata/warm_jax_cache/ + enable the repo-local cache so
+    # the driver's bench never pays a cold multi-minute tunnel compile
+    from deepmimic_mujoco_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 768))
     horizon = int(os.environ.get("BENCH_HORIZON", 64))

@@ -75,6 +75,10 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    from deepmimic_mujoco_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from deepmimic_mujoco_tpu.algos.bc import behavior_clone
     from deepmimic_mujoco_tpu.algos.dataset import MujocoDset
     from deepmimic_mujoco_tpu.algos.gail import GAIL, GAILConfig

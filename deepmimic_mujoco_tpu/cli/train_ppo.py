@@ -54,6 +54,10 @@ def main(argv=None) -> None:
     import jax
     import numpy as np
 
+    from deepmimic_mujoco_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from deepmimic_mujoco_tpu.dp_policy.ppo_agent import PPOAgent
     from deepmimic_mujoco_tpu.dp_policy.rl_agent import RLAgentDriver
     from deepmimic_mujoco_tpu.io_utils import checkpoint

@@ -135,6 +135,10 @@ def main(argv=None) -> None:
 
     import jax
 
+    from deepmimic_mujoco_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from deepmimic_mujoco_tpu.algos.runner import evaluate
     from deepmimic_mujoco_tpu.algos.train_loop import train
     from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig

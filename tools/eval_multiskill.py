@@ -31,8 +31,8 @@ def main() -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    from deepmimic_mujoco_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np
