@@ -63,6 +63,15 @@ def measure(num_envs: int, horizon: int, iters: int, breakdown: bool):
     sdtype = os.environ.get("BENCH_SOLVER_DTYPE", "")
     if sdtype:
         model = dataclasses.replace(model, solver_dtype=sdtype)
+    # BENCH_STAGE_REUSE=kin / BENCH_STAGE_ITERS=K: stage-frozen kinematics
+    # across RK4 stages + reduced budget for stages 2-4
+    # (PhysicsModel.stage_reuse / stage_iterations) — A/B knobs
+    if os.environ.get("BENCH_STAGE_REUSE", ""):
+        model = dataclasses.replace(
+            model, stage_reuse=os.environ["BENCH_STAGE_REUSE"])
+    if os.environ.get("BENCH_STAGE_ITERS", ""):
+        model = dataclasses.replace(
+            model, stage_iterations=int(os.environ["BENCH_STAGE_ITERS"]))
     env = DPEnvV3(clip="walk", model=model)
     policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size)
     cfg = TRPOConfig(horizon=horizon, num_envs=num_envs, g_step=1)

@@ -79,10 +79,18 @@ def body_velocities(model: PhysicsModel, kin: Kin, qvel: jnp.ndarray):
     return omega, v_com, dom_b, a_com_b
 
 
-def bias_force(model: PhysicsModel, kin: Kin, qvel: jnp.ndarray) -> jnp.ndarray:
-    """qfrc_bias (nv,): Coriolis + centrifugal + gravity (MuJoCo mj_rne)."""
-    j_lin, j_ang = com_jacobians(model, kin)
-    iw = world_inertia(model, kin)
+def bias_force(model: PhysicsModel, kin: Kin, qvel: jnp.ndarray,
+               jac: tuple | None = None) -> jnp.ndarray:
+    """qfrc_bias (nv,): Coriolis + centrifugal + gravity (MuJoCo mj_rne).
+
+    ``jac``: optional precomputed ``(j_lin, j_ang, iw)`` — these depend on
+    ``kin`` only, so a caller evaluating several velocities at one frozen
+    configuration (engine stage_reuse='kin') computes them once."""
+    if jac is not None:
+        j_lin, j_ang, iw = jac
+    else:
+        j_lin, j_ang = com_jacobians(model, kin)
+        iw = world_inertia(model, kin)
     omega, _, dom_b, a_com_b = body_velocities(model, kin, qvel)
     f = model.body_mass[:, None] * (a_com_b - model.gravity)
     tau = jnp.einsum("nab,nb->na", iw, dom_b) + jnp.cross(

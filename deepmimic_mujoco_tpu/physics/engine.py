@@ -234,8 +234,100 @@ def _rk4_substep(model: PhysicsModel, qpos, qvel, fwd, f_warm):
     return qpos_new, qvel_new, f_last
 
 
+def _rk4_substep_frozen(model: PhysicsModel, qpos, qvel, ctrl_fn, f_warm):
+    """RK4 substep with stage-frozen kinematics (PhysicsModel.stage_reuse
+    = 'kin'): FK, the mass-matrix inverse, the contact/limit candidate set
+    and the assembled dual matrix are computed ONCE at the substep entry
+    state — which IS stage 1's evaluation point (RK4's a₁ = 0) — and reused
+    by stages 2-4, which re-evaluate only the velocity-dependent terms
+    (bias force, actuation/PD torque, reference accelerations) and re-solve
+    the dual.  Stage deltas are O(dt) in qpos, so the frozen quantities are
+    perturbed O(dt); accuracy is measured in tools/warmstart_study.py and
+    pinned by tests/test_ops.py budgets.
+
+    Stages 2-4 warm-start from the previous stage's forces on the SAME
+    frozen dual matrix, so the reduced ``stage_iterations`` budget applies
+    to them; stage 1 uses the ``warm_iterations`` budget (its warm start —
+    the previous substep's forces — crossed a state change)."""
+    dt = model.dt
+
+    # ---- substep-entry prep (== the stage-1 evaluation point) ----
+    kin = kinematics.fk(model, qpos)
+    m = dynamics.mass_matrix(model, kin)
+    minv = mass_inverse(m)
+    hi = jax.lax.Precision.HIGHEST
+
+    def m_inv_mul(x):
+        return jnp.matmul(minv, x, precision=hi)
+
+    contacts = collision.floor_contacts(model, kin)
+    limits = collision.joint_limits(model, qpos)
+    system = solver.assemble_system(model, m_inv_mul, contacts, limits,
+                                    dtype=qvel.dtype)
+    jac = (*kinematics.com_jacobians(model, kin),
+           dynamics.world_inertia(model, kin))
+
+    warm_n = int(getattr(model, "warm_iterations", 0))
+    it1 = warm_n if warm_n > 0 else None
+    stage_n = int(getattr(model, "stage_iterations", 0))
+    it_rest = stage_n if stage_n > 0 else it1
+
+    def stage_forward(qp_i, qv_i, f_prev, iters):
+        ctrl, qfrc = ctrl_fn(qp_i, qv_i)
+        tau = (
+            dynamics.actuator_force(model, ctrl)
+            + dynamics.passive_force(model, qv_i)
+            - dynamics.bias_force(model, kin, qv_i, jac=jac)
+        )
+        if qfrc is not None:
+            tau = tau + qfrc
+        qacc_smooth = m_inv_mul(tau)
+        sol = solver.solve_system(model, system, qacc_smooth, qv_i,
+                                  f_warm=(f_prev if warm_n > 0 else None),
+                                  iterations=iters)
+        return qacc_smooth + m_inv_mul(sol.qfrc_constraint), sol.force
+
+    # stage 1 — exact evaluation at (qpos, qvel)
+    ka1, f1 = stage_forward(qpos, qvel, f_warm, it1)
+
+    # stages 2-4 (frozen kin, reduced budget, warm chain on the same A)
+    a_coefs = jnp.asarray([0.5, 0.5, 1.0], qvel.dtype)
+    b_coefs = jnp.asarray([2.0, 2.0, 1.0], qvel.dtype) / 6.0
+
+    def stage(carry, coefs):
+        a_i, b_i = coefs
+        kv_prev, ka_prev, acc_v, acc_a, f_prev = carry
+        qp_i = integrate_pos(model, qpos, kv_prev, dt * a_i)
+        qv_i = qvel + dt * a_i * ka_prev
+        ka, f_i = stage_forward(qp_i, qv_i, f_prev, it_rest)
+        return (qv_i, ka, acc_v + b_i * qv_i, acc_a + b_i * ka, f_i), None
+
+    carry0 = (qvel, ka1, qvel / 6.0, ka1 / 6.0, f1)
+    (_, _, v_avg, a_avg, f_last), _ = jax.lax.scan(
+        stage, carry0, (a_coefs, b_coefs))
+    qpos_new = integrate_pos(model, qpos, v_avg, dt)
+    qvel_new = qvel + dt * a_avg
+    return qpos_new, qvel_new, f_last
+
+
 def _substep(integrator: str):
     return _rk4_substep if integrator == "rk4" else _euler_substep
+
+
+def _make_substep(model: PhysicsModel, ctrl_fn):
+    """Substep closure ``(qp, qv, f_warm) → (qp', qv', f_last)`` for a
+    model/controller pair, dispatching to the stage-frozen RK4 pipeline when
+    ``model.stage_reuse == 'kin'`` (requires the Newton–Schulz M⁻¹ path —
+    the 'cholesky' fallback's factorization is a host-side closure that
+    cannot thread through the frozen prep)."""
+    if (model.integrator == "rk4"
+            and getattr(model, "stage_reuse", "none") == "kin"
+            and getattr(model, "minv_mode", "ns") == "ns"):
+        return lambda qp, qv, f: _rk4_substep_frozen(model, qp, qv,
+                                                     ctrl_fn, f)
+    fwd = _make_fwd(model, ctrl_fn)
+    sub = _substep(model.integrator)
+    return lambda qp, qv, f: sub(model, qp, qv, fwd, f)
 
 
 def _make_fwd(model: PhysicsModel, ctrl_fn):
@@ -302,15 +394,14 @@ def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
 def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
                   kp, kd, n_substeps: int = 1):
     zero_ctrl = jnp.zeros(model.nu, qvel.dtype)
-    fwd = _make_fwd(
+    sub = _make_substep(
         model,
         lambda qp, qv: (zero_ctrl, pd_torque(model, target, qp, qv, kp, kd)))
-    sub = _substep(integrator)
     f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
 
     def body(carry, _):
         qp, qv, f = carry
-        return sub(model, qp, qv, fwd, f), None
+        return sub(qp, qv, f), None
 
     (qpos, qvel, _), _ = jax.lax.scan(
         body, (qpos, qvel, f0), None, length=n_substeps)
@@ -320,13 +411,12 @@ def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
 @partial(jax.jit, static_argnums=0, static_argnames=("n_substeps",))
 def _step_impl(integrator: str, model: PhysicsModel, qpos, qvel, ctrl,
                n_substeps: int = 1):
-    fwd = _make_fwd(model, lambda qp, qv: (ctrl, None))
-    sub = _substep(integrator)
+    sub = _make_substep(model, lambda qp, qv: (ctrl, None))
     f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
 
     def body(carry, _):
         qp, qv, f = carry
-        return sub(model, qp, qv, fwd, f), None
+        return sub(qp, qv, f), None
 
     (qpos, qvel, _), _ = jax.lax.scan(
         body, (qpos, qvel, f0), None, length=n_substeps)

@@ -100,8 +100,9 @@ _JOINT_ORDER = [
 
 def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
                    iterations: int = 50, contact_cap: int = 8,
-                   limit_cap: int = 8, warm_iterations: int = 25,
-                   solver_dtype: str = "bf16") -> PhysicsModel:
+                   limit_cap: int = 8, warm_iterations: int = 15,
+                   solver_dtype: str = "bf16", stage_reuse: str = "kin",
+                   stage_iterations: int = 8) -> PhysicsModel:
     """``contact_cap``/``limit_cap`` bound the number of *simultaneously
     active* constraint rows the solver resolves (deepest-first top-k).  The
     default 8/8 (dual dimension ne = 32) is measured-exact for this
@@ -112,13 +113,23 @@ def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
     hinges (tools/contactcap_study.py, 2026-08-18).  Pass larger caps for
     multi-body pile-up scenarios beyond the single-humanoid-on-plane task.
 
-    The default solver configuration is the production-fast one: constraint
-    solves are warm-started across RK4 stages/substeps at a 25-iteration
-    budget and the APGD dual matrix is stored in bf16 — together ~4× less
-    HBM re-streaming of the dual matrix, the rollout's dominant bandwidth
-    cost (BASELINE.md r3 analysis), at 0.0019 + 0.0013 rad RMS trajectory
-    cost over 40 contact-rich steps (tools/warmstart_study.py).  Pass
-    ``warm_iterations=0, solver_dtype="f32"`` for the legacy exact-cold
+    The default solver configuration is the production-fast one (r4):
+    **stage-frozen kinematics** (``stage_reuse='kin'`` — FK, the Newton–
+    Schulz M⁻¹, the contact set and the dual matrix are computed once per
+    substep and reused by RK4 stages 2-4, which re-solve the SAME dual
+    warm-started at an 8-iteration budget), warm-started stage-1 solves at
+    15 iterations, and bf16 storage for the dual matrix.  Measured on v5e
+    at 768 envs this is 193.7k env-steps/s end-to-end TRPO vs 93.9k for the
+    r3 warm25+bf16 config (chainlog/r4_ab2.log, 2026-08-19) — the Newton–
+    Schulz M⁻¹ restream (the rollout's largest HBM byte stream) and the
+    FK/CRBA/collision/assembly op chains shrink 4×.  Accuracy: 0.018-0.028
+    rad qpos RMS vs a 300-iteration cold truth over 40 contact-rich
+    tracking steps (tools/warmstart_study.py stage_kin rows) — an order of
+    magnitude INSIDE the model-level divergence from real MuJoCo that the
+    behavioural fidelity contract budgets (tests/test_physics.py
+    TestMuJoCoDivergenceBudget, test_p_controller_tracking_ab_budget, both
+    enforced ON this default).  Pass ``warm_iterations=0,
+    solver_dtype="f32", stage_reuse="none"`` for the legacy exact-cold
     configuration (what the solver-exactness tests pin)."""
     b = ModelBuilder(dt=dt, integrator=integrator, iterations=iterations,
                      max_contacts=contact_cap, max_limits=limit_cap)
@@ -144,7 +155,8 @@ def build_humanoid(dt: float = 0.0166, integrator: str = "rk4",
             b.add_motor(joint, _GEARS[joint])
     return dataclasses.replace(
         b.finalize(root_pos=(0.0, 0.0, 0.9)),
-        warm_iterations=warm_iterations, solver_dtype=solver_dtype)
+        warm_iterations=warm_iterations, solver_dtype=solver_dtype,
+        stage_reuse=stage_reuse, stage_iterations=stage_iterations)
 
 
 def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,

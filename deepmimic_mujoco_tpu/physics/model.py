@@ -97,6 +97,26 @@ class PhysicsModel:
     # already accepted.  "f32" = exact legacy behaviour.  PGS (the CPU
     # parity mode) always solves in f32.
     solver_dtype: str = "f32"
+    # stage reuse across the integrator stages of one substep:
+    #   "none"  legacy — every RK4 stage re-runs FK, CRBA, the M⁻¹ Newton–
+    #           Schulz iteration, collision and dual-matrix assembly
+    #   "kin"   freeze kinematics at the substep entry state: FK / M⁻¹ /
+    #           contact set / dual matrix A are computed ONCE (at stage 1,
+    #           whose evaluation point IS the entry state — RK4's a₁=0) and
+    #           reused by stages 2-4, which re-evaluate only the velocity-
+    #           dependent terms (bias force, actuation/PD torque, aref) and
+    #           re-solve the dual with the frozen A.  Stage deltas are O(dt)
+    #           in qpos, so the frozen quantities are perturbed O(dt) —
+    #           accuracy measured in tools/warmstart_study.py (stage_kin
+    #           rows) and pinned by tests/test_ops.py::TestWarmIntegration.
+    #           Cuts the Newton–Schulz HBM traffic (the rollout's largest
+    #           byte stream) and the FK/CRBA/collision op chains 4×.
+    stage_reuse: str = "none"
+    # with stage_reuse="kin": iteration budget for stages AFTER the first
+    # (they warm-start from the previous stage's forces on the SAME frozen
+    # dual matrix, so far fewer passes reach the same accuracy).  0 = use
+    # the stage-1 budget (warm_iterations or iterations) everywhere.
+    stage_iterations: int = 0
     integrator: str = "rk4"           # "rk4" | "euler"
     nbody: int = 0
     nq: int = 0
@@ -129,7 +149,8 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "parent", "max_contacts", "max_limits", "minv_mode", "solver_mode",
-        "dt", "iterations", "warm_iterations", "solver_dtype", "integrator",
+        "dt", "iterations", "warm_iterations", "solver_dtype", "stage_reuse",
+        "stage_iterations", "integrator",
         "nbody", "nq", "nv", "nhinge", "nu", "ncand", "body_hinges",
         "geom_type", "body_names", "geom_names", "hinge_names",
     ],

@@ -93,6 +93,22 @@ class EfcSolution(NamedTuple):
     force: jnp.ndarray            # (nefc,) constraint-space forces
 
 
+class ConstraintSystem(NamedTuple):
+    """State-dependent but velocity-independent parts of the dual problem —
+    everything that can be FROZEN across integrator stages under
+    ``PhysicsModel.stage_reuse='kin'`` (the stage deltas perturb these only
+    O(dt)).  All fields are arrays so the tuple threads through jit/vmap."""
+
+    j: jnp.ndarray         # (ne, nv) selected constraint Jacobian (masked)
+    a_solve: jnp.ndarray   # (ne, ne) regularized dual matrix, solver dtype
+    mu: jnp.ndarray        # (nc,) friction coefficient per selected contact
+    d_rows: jnp.ndarray    # (ne,) impedance per row
+    pos_rows: jnp.ndarray  # (ne,) constraint violation per row
+    act_rows: jnp.ndarray  # (ne,) bool active mask
+    c_rows: jnp.ndarray    # (nc*3,) full-layout row index per contact row
+    lim_dof: jnp.ndarray   # (nl,) hinge index per selected limit row
+
+
 def pgs_solve(a: jnp.ndarray, bvec: jnp.ndarray, mu: jnp.ndarray,
               nc: int, nl: int, n_sweeps: int,
               f0: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -135,37 +151,31 @@ def pgs_solve(a: jnp.ndarray, bvec: jnp.ndarray, mu: jnp.ndarray,
     return f
 
 
-def solve_constraints(
-    model: PhysicsModel,
-    m_inv_mul,                 # callable: (nv,) -> M⁻¹ x
-    qacc_smooth: jnp.ndarray,  # (nv,)
-    qvel: jnp.ndarray,
-    contacts: Contacts,
-    limits: Limits,
-    f_warm: jnp.ndarray | None = None,   # (ncand*3 + nl_full,) warm start
-    iterations: int | None = None,
-) -> EfcSolution:
-    """Solve for constraint forces.  Before assembly, the candidate set is
-    reduced to the ``max_contacts``/``max_limits`` *deepest* rows via top-k —
-    identical forces as long as the number of simultaneously active
-    constraints stays within the caps (inactive rows contribute zero), at a
-    fraction of the dense-solve cost.  Returns forces scattered back to the
-    full candidate layout.
-
-    ``f_warm`` (full candidate layout, e.g. a previous stage's
-    ``EfcSolution.force``) warm-starts the iterative solve: the returned
-    solution for a nearby state is a far better initial iterate than zero,
-    so a reduced ``iterations`` budget reaches the same accuracy — the
-    integrator exploits this across RK4 stages/substeps (engine._rk4_substep,
-    PhysicsModel.warm_iterations)."""
-    nv = model.nv
-    nc_full = contacts.pos.shape[0]
-    nl_full = limits.pos.shape[0]
-    dtype = qacc_smooth.dtype
-
-    # ---- top-k selection of deepest candidates (static shapes) ----
+def _caps(model: PhysicsModel) -> tuple[int, int, int, int]:
+    """(nc, nl, nc_full, nl_full) — static selection sizes."""
+    nc_full = int(model.ncand)
+    nl_full = int(model.nhinge)
     nc = min(getattr(model, "max_contacts", nc_full), nc_full)
     nl = min(getattr(model, "max_limits", nl_full), nl_full)
+    return nc, nl, nc_full, nl_full
+
+
+def assemble_system(
+    model: PhysicsModel,
+    m_inv_mul,                 # callable: (nv,) -> M⁻¹ x
+    contacts: Contacts,
+    limits: Limits,
+    dtype=jnp.float32,
+) -> ConstraintSystem:
+    """Top-k candidate selection + Jacobian/dual-matrix assembly — the
+    velocity-independent half of :func:`solve_constraints`.  The candidate
+    set is reduced to the ``max_contacts``/``max_limits`` *deepest* rows via
+    top-k — identical forces as long as the number of simultaneously active
+    constraints stays within the caps (inactive rows contribute zero)."""
+    nv = model.nv
+    nc, nl, _, _ = _caps(model)
+
+    # ---- top-k selection of deepest candidates (static shapes) ----
     _, c_sel = jax.lax.top_k(-contacts.pos, nc)
     _, l_sel = jax.lax.top_k(-limits.pos, nl)
     contacts = Contacts(pos=contacts.pos[c_sel], active=contacts.active[c_sel],
@@ -182,31 +192,24 @@ def solve_constraints(
     j_l = jnp.zeros((nl, nv), dtype)
     j_l = j_l.at[jnp.arange(nl), 6 + lim_dof].set(limits_sel.sign)
     j_l = jnp.where(limits_sel.active[:, None], j_l, 0.0)
-    limits = limits_sel
 
     j = jnp.concatenate([j_c, j_l], axis=0)  # (ne, nv)
-    ne = nc * 3 + nl
 
-    k, b = _kb(model)
-    # reference accelerations
-    vel = j @ qvel
     d_c = _impedance(model, contacts.pos)
-    d_l = _impedance(model, limits.pos)
+    d_l = _impedance(model, limits_sel.pos)
     pos_rows = jnp.concatenate(
         [
             jnp.stack([contacts.pos, jnp.zeros_like(contacts.pos),
                        jnp.zeros_like(contacts.pos)], axis=-1).reshape(-1),
-            limits.pos,
+            limits_sel.pos,
         ]
     )
     d_rows = jnp.concatenate(
         [jnp.repeat(d_c, 3), d_l]
     )
-    aref = -b * vel - k * d_rows * pos_rows
     act_rows = jnp.concatenate(
-        [jnp.repeat(contacts.active, 3), limits.active]
+        [jnp.repeat(contacts.active, 3), limits_sel.active]
     )
-    aref = jnp.where(act_rows, aref, 0.0)
 
     # ---- dual system ----
     minv_jt = jax.vmap(m_inv_mul, in_axes=0)(j)  # rows: M⁻¹ jᵀ per row → (ne, nv)
@@ -215,7 +218,47 @@ def solve_constraints(
     r = (1.0 - d_rows) / d_rows * jnp.maximum(diag_a, 1e-8)
     r = jnp.where(act_rows, r, 1.0)
     a = a + jnp.diag(r)
-    bvec = j @ qacc_smooth - aref
+    a_solve = a
+    if (getattr(model, "solver_mode", "apgd") != "pgs"
+            and getattr(model, "solver_dtype", "f32") == "bf16"):
+        # bf16 storage halves the bytes every APGD pass re-streams
+        # (iterates/b/projections stay f32; see PhysicsModel.solver_dtype)
+        a_solve = a.astype(jnp.bfloat16)
+
+    c_rows = (c_sel[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
+    return ConstraintSystem(j=j, a_solve=a_solve, mu=contacts.mu,
+                            d_rows=d_rows, pos_rows=pos_rows,
+                            act_rows=act_rows, c_rows=c_rows, lim_dof=lim_dof)
+
+
+def solve_system(
+    model: PhysicsModel,
+    system: ConstraintSystem,
+    qacc_smooth: jnp.ndarray,  # (nv,)
+    qvel: jnp.ndarray,
+    f_warm: jnp.ndarray | None = None,   # (ncand*3 + nl_full,) warm start
+    iterations: int | None = None,
+) -> EfcSolution:
+    """Velocity-dependent half of :func:`solve_constraints`: reference
+    accelerations + the iterative dual solve on an (optionally frozen)
+    assembled system.  Returns forces scattered back to the full candidate
+    layout.
+
+    ``f_warm`` (full candidate layout, e.g. a previous stage's
+    ``EfcSolution.force``) warm-starts the iterative solve: the returned
+    solution for a nearby state is a far better initial iterate than zero,
+    so a reduced ``iterations`` budget reaches the same accuracy — the
+    integrator exploits this across RK4 stages/substeps (engine._rk4_substep,
+    PhysicsModel.warm_iterations)."""
+    nc, nl, nc_full, nl_full = _caps(model)
+    dtype = qacc_smooth.dtype
+    ne = nc * 3 + nl
+
+    k, b = _kb(model)
+    vel = system.j @ qvel
+    aref = -b * vel - k * system.d_rows * system.pos_rows
+    aref = jnp.where(system.act_rows, aref, 0.0)
+    bvec = system.j @ qacc_smooth - aref
 
     n_iters = int(model.iterations) if iterations is None else int(iterations)
     # warm start: gather the previous solution's rows for the current
@@ -224,33 +267,46 @@ def solve_constraints(
     if f_warm is None:
         f0 = jnp.zeros(ne, dtype)
     else:
-        c_rows = (c_sel[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
         f0 = jnp.concatenate(
-            [f_warm[c_rows], f_warm[nc_full * 3 + lim_dof]])
-        f0 = jnp.where(act_rows, f0, 0.0)
+            [f_warm[system.c_rows], f_warm[nc_full * 3 + system.lim_dof]])
+        f0 = jnp.where(system.act_rows, f0, 0.0)
 
     if getattr(model, "solver_mode", "apgd") == "pgs":
         # PGS-compatible sequential sweeps (parity mode for CPU A/B runs)
-        f = pgs_solve(a, bvec, contacts.mu, int(nc), int(nl), n_iters, f0)
+        f = pgs_solve(system.a_solve, bvec, system.mu, int(nc), int(nl),
+                      n_iters, f0)
     else:
         # APGD iteration (Pallas kernel under vmap on TPU; XLA scan
-        # otherwise — see ops/apgd.py).  solver_dtype='bf16' stores A in
-        # bf16 so each of the n_iters matvec passes streams half the bytes
-        # (iterates stay f32; see PhysicsModel.solver_dtype).
+        # otherwise — see ops/apgd.py)
         from deepmimic_mujoco_tpu.ops.apgd import make_apgd
 
-        a_solve = a
-        if getattr(model, "solver_dtype", "f32") == "bf16":
-            a_solve = a.astype(jnp.bfloat16)
         apgd = make_apgd(n_iters, int(nc), int(nl), use_pallas())
-        f = apgd(a_solve, bvec, contacts.mu, f0)
-    f = jnp.where(act_rows, f, 0.0)
+        f = apgd(system.a_solve, bvec, system.mu, f0)
+    f = jnp.where(system.act_rows, f, 0.0)
 
-    qfrc = j.T @ f
+    qfrc = system.j.T @ f
 
     # scatter forces back to the full candidate layout
     full = jnp.zeros(nc_full * 3 + nl_full, dtype)
-    row_idx = (c_sel[:, None] * 3 + jnp.arange(3)[None, :]).reshape(-1)
-    full = full.at[row_idx].set(f[: nc * 3])
-    full = full.at[nc_full * 3 + lim_dof].set(f[nc * 3:])
+    full = full.at[system.c_rows].set(f[: nc * 3])
+    full = full.at[nc_full * 3 + system.lim_dof].set(f[nc * 3:])
     return EfcSolution(qfrc_constraint=qfrc, force=full)
+
+
+def solve_constraints(
+    model: PhysicsModel,
+    m_inv_mul,                 # callable: (nv,) -> M⁻¹ x
+    qacc_smooth: jnp.ndarray,  # (nv,)
+    qvel: jnp.ndarray,
+    contacts: Contacts,
+    limits: Limits,
+    f_warm: jnp.ndarray | None = None,   # (ncand*3 + nl_full,) warm start
+    iterations: int | None = None,
+) -> EfcSolution:
+    """Solve for constraint forces: :func:`assemble_system` +
+    :func:`solve_system` (split so the integrator can freeze the assembled
+    system across stages — PhysicsModel.stage_reuse)."""
+    system = assemble_system(model, m_inv_mul, contacts, limits,
+                             dtype=qacc_smooth.dtype)
+    return solve_system(model, system, qacc_smooth, qvel, f_warm=f_warm,
+                        iterations=iterations)

@@ -192,6 +192,65 @@ class TestWarmIntegration:
         rms = float(np.sqrt(np.mean((qs["f32"] - qs["bf16"]) ** 2)))
         assert rms < 5e-3, rms
 
+    def test_stage_frozen_within_budget(self):
+        """The r4 production default (stage_reuse='kin': FK/M⁻¹/contacts/
+        dual matrix frozen across RK4 stages, stages 2-4 warm-solved at 8
+        iterations, stage-1 at 15) stays within its measured budget of the
+        exact-cold config over a contact-rich tracking rollout (full study:
+        tools/warmstart_study.py — stage_kin rows diverge 0.018-0.028 rad
+        RMS from a 300-iteration truth over 40 steps, an order of magnitude
+        inside the model-level MuJoCo divergence the behavioural contract
+        budgets)."""
+        import dataclasses
+
+        import jax
+
+        from deepmimic_mujoco_tpu.envs import DPEnvV3
+        from deepmimic_mujoco_tpu.physics import build_humanoid
+
+        base = build_humanoid(warm_iterations=0, solver_dtype="f32",
+                              stage_reuse="none", stage_iterations=0)
+        froz = dataclasses.replace(base, warm_iterations=15,
+                                   stage_reuse="kin", stage_iterations=8)
+        qs = {}
+        for name, model in (("exact", base), ("frozen", froz)):
+            env = DPEnvV3(clip="walk", model=model, n_substeps=1)
+            st = env.reset_at(jax.random.PRNGKey(0), 0)
+            step = jax.jit(env.step)
+            traj = []
+            for t in range(12):
+                ref = env.clip_qpos[(t + 1) % env.clip_len][7:]
+                st = step(st, 0.8 * (ref - st.qpos[7:]))
+                traj.append(np.asarray(st.qpos))
+            qs[name] = np.stack(traj)
+        rms = float(np.sqrt(np.mean((qs["exact"] - qs["frozen"]) ** 2)))
+        assert rms < 2e-2, rms
+
+    def test_stage_frozen_stage1_exact(self):
+        """With stage_iterations=0 and warm_iterations=0 the frozen path's
+        FIRST RK4 stage evaluates at the substep entry state — identical
+        inputs to the legacy stage 1 — so a single-stage comparison (one
+        Euler-style check is not available; instead compare one full step
+        at a 300-iteration near-converged budget where the stage-2-4
+        perturbation is the only difference) stays small."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+
+        base = build_humanoid(warm_iterations=0, solver_dtype="f32",
+                              stage_reuse="none", iterations=300)
+        froz = dataclasses.replace(base, stage_reuse="kin")
+        qp0 = base.qpos0
+        qv0 = jnp.zeros(base.nv)
+        ctrl = jnp.zeros(base.nu)
+        qp_a, qv_a = engine.step(base, qp0, qv0, ctrl)
+        qp_b, qv_b = engine.step(froz, qp0, qv0, ctrl)
+        # standing start, one dt: stage deltas are tiny → paths agree tightly
+        assert float(jnp.max(jnp.abs(qp_a - qp_b))) < 1e-4
+        assert float(jnp.max(jnp.abs(qv_a - qv_b))) < 1e-3
+
     def test_scan_accepts_bf16_a(self):
         """_apgd_scan on a bf16-stored A converges to the f32 solution
         within the storage-perturbation budget."""

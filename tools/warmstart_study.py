@@ -61,6 +61,22 @@ def main():
         "bf16": dataclasses.replace(base, solver_dtype="bf16"),
         "warm25+bf16": dataclasses.replace(base, warm_iterations=25,
                                            solver_dtype="bf16"),
+        # stage-frozen kinematics (PhysicsModel.stage_reuse='kin'):
+        # FK/M⁻¹/contacts/A computed once per substep, stages 2-4 reuse
+        # them and warm-solve the SAME dual at stage_iterations budget
+        "stage_kin": dataclasses.replace(
+            base, warm_iterations=25, solver_dtype="bf16",
+            stage_reuse="kin"),
+        "stage_kin8": dataclasses.replace(
+            base, warm_iterations=25, solver_dtype="bf16",
+            stage_reuse="kin", stage_iterations=8),
+        "stage_kin12": dataclasses.replace(
+            base, warm_iterations=25, solver_dtype="bf16",
+            stage_reuse="kin", stage_iterations=12),
+        # production candidate: frozen stages + shorter stage-1 budget
+        "stage_kin12w15": dataclasses.replace(
+            base, warm_iterations=15, solver_dtype="bf16",
+            stage_reuse="kin", stage_iterations=12),
     }
     trajs = {}
     for name, model in configs.items():
