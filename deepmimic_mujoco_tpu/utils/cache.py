@@ -35,12 +35,25 @@ def setup_compilation_cache(repo_root: str | None = None) -> str:
     if os.path.isdir(seed):
         os.makedirs(cache_dir, exist_ok=True)
         for f in os.listdir(seed):
+            src = os.path.join(seed, f)
             dst = os.path.join(cache_dir, f)
-            if not os.path.exists(dst):
-                try:
-                    shutil.copyfile(os.path.join(seed, f), dst)
-                except OSError:
-                    pass  # seeding is best-effort; a miss just recompiles
+            try:
+                # re-seed entries that are missing OR torn (a process killed
+                # mid-copy — e.g. a chain job hitting its timeout cap —
+                # leaves a truncated file that would otherwise stay corrupt
+                # for the whole session); size mismatch detects that
+                if (os.path.exists(dst)
+                        and os.path.getsize(dst) == os.path.getsize(src)):
+                    continue
+                # copy via a unique temp name + atomic os.replace so a kill
+                # mid-copy never exposes a partial entry and concurrent
+                # seeders (chain job overlapping the driver's bench)
+                # converge to a whole file
+                tmp = dst + f".seed.{os.getpid()}"
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
+            except OSError:
+                pass  # seeding is best-effort; a miss just recompiles
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if jax.default_backend() == "cpu":

@@ -67,4 +67,9 @@ sweep_r4() {
     BENCH_SWEEP=2048,4096 python bench.py
 }
 
+if [ $# -eq 0 ]; then
+    echo "usage: $0 <job>   (one of: spinkick_finetune_leg2 gail_r4 multiskill_r4 eval_spinkick eval_multiskill_r2 sweep_r4)" >&2
+    echo "note: round-4 runs these via tools/r4_chain.sh" >&2
+    exit 2
+fi
 "$@"
