@@ -19,6 +19,7 @@ scalars in DP order) → stable-PD torque τ = kp·p_err + kd·(p_err/dt − qve
 
 from __future__ import annotations
 
+import enum
 from typing import Optional
 
 import jax
@@ -39,6 +40,16 @@ from deepmimic_mujoco_tpu.utils import quaternion as quat
 STATE_SIZE = 197
 ACTION_SIZE = 36
 GOAL_SIZE = 0
+
+
+class ActionSpace(enum.Enum):
+    """Action-space kind reported by :meth:`DeepMimicEnv.get_action_space`
+    (reference: /root/reference/src/env/action_space.py:1-6; the mujoco port
+    returns the raw value 1 = Continuous, mujoco_env.py:129-130)."""
+
+    Null = 0
+    Continuous = 1
+    Discrete = 2
 
 
 def _dp_action_slices():
@@ -263,6 +274,11 @@ class DeepMimicEnv:
 
     def get_action_size(self, agent_id: int = 0):
         return self.action_size
+
+    def get_action_space(self, agent_id: int = 0) -> ActionSpace:
+        """Continuous 36-D PD-target actions (env.py:98 /
+        mujoco_env.py:129-130 return the raw enum value 1)."""
+        return ActionSpace.Continuous
 
     # --- normalization builders (mujoco_env.py:149-182) ---
     def build_state_offset(self, agent_id: int = 0):
