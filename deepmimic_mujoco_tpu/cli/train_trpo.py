@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "cap to cut compile/runtime")
     p.add_argument("--sample-save-path", default=None)
     p.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    p.add_argument("--joint-limits", default="xml", choices=["xml", "mocap"],
+                   help="hinge limit ranges: 'xml' = reference-XML parity; "
+                        "'mocap' = widened to the union of the bundled "
+                        "clips' poses (the XML ranges exclude the acrobatic "
+                        "clips' own poses — see physics.humanoid."
+                        "mocap_hinge_range)")
     p.add_argument("--warm-iterations", type=int, default=-1,
                    help=">=0 sets PhysicsModel.warm_iterations: constraint "
                         "solves warm-start across integrator stages at this "
@@ -154,6 +160,13 @@ def main(argv=None) -> None:
 
         model = dataclasses.replace(build_humanoid(),
                                     warm_iterations=args.warm_iterations)
+    if args.joint_limits == "mocap":
+        # widen hinge ranges to cover the mocap poses (the reference XML's
+        # ranges exclude its own acrobatic clips — physics/humanoid.py
+        # mocap_hinge_range)
+        from deepmimic_mujoco_tpu.physics.humanoid import mocap_hinge_range
+
+        model = mocap_hinge_range(model)
 
     if "," in args.motion:
         # multi-skill imitation: one policy over several clips.  The env only

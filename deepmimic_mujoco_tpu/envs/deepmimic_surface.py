@@ -99,15 +99,22 @@ def load_fall_contact_bodies(clip_name: str) -> tuple:
     try:
         with open(path) as f:
             toks = f.read().split()
-        i = toks.index("--fall_contact_bodies")
-        out = []
-        for t in toks[i + 1:]:
-            if t.startswith("--"):
-                break
-            out.append(int(t))
-        return tuple(out)
-    except (OSError, ValueError):
+    except OSError:
         return DEFAULT_FALL_CONTACT_BODIES
+    try:
+        i = toks.index("--fall_contact_bodies")
+    except ValueError:
+        # arg file exists but carries no flag — reference semantics: the
+        # fall-contact list is EMPTY, contact never terminates (the
+        # floor-borne skills: getup_facedown/getup_faceup/roll have no
+        # --fall_contact_bodies line in src/args/)
+        return ()
+    out = []
+    for t in toks[i + 1:]:
+        if t.startswith("--"):
+            break
+        out.append(int(t))
+    return tuple(out)
 
 
 def action_to_targets(action: jnp.ndarray) -> jnp.ndarray:
@@ -171,15 +178,22 @@ class DeepMimicSurfaceEnv:
                  reward_mode: str = "imitation_dm", n_substeps: int = 2,
                  max_episode_steps: int = 300, write_phase: bool = True,
                  quirk_lateral: bool = False,
-                 fall_contact_bodies: Optional[Sequence[int]] = None):
+                 fall_contact_bodies: Optional[Sequence[int]] = None,
+                 clip_velocities: str = "consistent"):
         self.model = model if model is not None else build_humanoid()
         clip_name = clip if isinstance(clip, str) else "walk"
         if not isinstance(clip, MocapClip):
             clip = load_clip(clip)
         self.clip = clip
         self.clip_len = len(clip)
-        self.clip_qpos = jnp.asarray(clip.qpos, jnp.float32)
-        self.clip_qvel = jnp.asarray(clip.qvel, jnp.float32)
+        # 'consistent' = continuous pose track + integrator-consistent FD
+        # velocities (MocapClip.qpos_cont/qvel_fd); 'reference' = the
+        # verbatim conversion incl. the negated-ω velocity quirk
+        consistent = clip_velocities == "consistent"
+        self.clip_qpos = jnp.asarray(
+            clip.qpos_cont if consistent else clip.qpos, jnp.float32)
+        self.clip_qvel = jnp.asarray(
+            clip.qvel_fd if consistent else clip.qvel, jnp.float32)
         self.clip_wraps = clip.loop == "wrap"
         if self.clip_wraps:
             off = np.asarray(clip.qpos[-1, 0:3] - clip.qpos[0, 0:3])

@@ -78,6 +78,8 @@ class DPEnvV3:
         max_episode_steps: int = 0,
         obs_mode: Optional[str] = None,
         termination: Optional[str] = None,
+        pd_target_interp: bool = True,
+        clip_velocities: str = "consistent",
     ):
         """``control_mode``: 'torque' (reference v3 — actions are motor ctrl
         through gear/ctrlrange) or 'pd' (DeepMimic-proper — actions are joint
@@ -108,6 +110,12 @@ class DPEnvV3:
         modes, 'com' otherwise."""
         self.model = model if model is not None else build_humanoid()
         self.control_mode = control_mode
+        # pd_residual + imitation: step the PD feed-forward target along the
+        # clip once per SUBSTEP instead of holding one pose per control step
+        # (see step(); measured ceiling lift in tools/tracking_ceiling_probe
+        # — the reference's host loop writes one torque per control step,
+        # mujoco_interface.py:97-107, losing 60 fps clips at 30 Hz control)
+        self.pd_target_interp = pd_target_interp
         if include_phase is None:
             include_phase = reward_mode in ("imitation", "imitation_dm")
         self.include_phase = include_phase
@@ -177,12 +185,22 @@ class DPEnvV3:
             clip = load_clip(clip)
         self.clip = clip
         self.clip_len = len(clip)
+        # 'consistent' (default): integrator-consistent FD velocities
+        # (MocapClip.qvel_fd) — what RSI resets and velocity-reward targets
+        # should be.  'reference': the reference's negated-ω quirk arrays
+        # (mocap_v2.py:64-76,113) for behavioural parity studies.
+        if clip_velocities not in ("consistent", "reference"):
+            raise ValueError(f"unknown clip_velocities {clip_velocities!r}")
+        self.clip_velocities = clip_velocities
         # frames advanced per control step (clips are 16-60 fps; control
         # runs at n_substeps·dt) — see _clip_index
         self.cursor_scale = float((max(n_substeps, 1) * self.model.dt)
                                   / clip.dt)
-        self.clip_qpos = jnp.asarray(clip.qpos, jnp.float32)
-        self.clip_qvel = jnp.asarray(clip.qvel, jnp.float32)
+        consistent = clip_velocities == "consistent"
+        self.clip_qpos = jnp.asarray(
+            clip.qpos_cont if consistent else clip.qpos, jnp.float32)
+        self.clip_qvel = jnp.asarray(
+            clip.qvel_fd if consistent else clip.qvel, jnp.float32)
         self.reward_mode = reward_mode
         self.n_substeps = n_substeps
         self.reset_noise = reset_noise
@@ -301,9 +319,27 @@ class DPEnvV3:
             # control step (the advanced cursor) — targeting the current
             # frame leaves a permanent one-frame lag in the feed-forward
             imit = self.reward_mode in ("imitation", "imitation_dm")
-            ref_idx, _ = self._clip_index(
-                state.mocap_idx + (1 if imit else 0), state.init_idx)
-            action = self.clip_qpos[ref_idx][7:] + action
+            if imit and self.pd_target_interp and self.n_substeps > 1:
+                # per-substep feed-forward: target the clip pose each
+                # SUBSTEP should reach, not one pose held across the whole
+                # control period.  Holding one target for a 33 ms control
+                # step loses fast clips — spinkick (60 fps) one-step
+                # tracking reward 0.476 held vs 0.741 stepped
+                # (tools/tracking_ceiling_probe.py) — because the reference
+                # pose moves 2 frames per control step (cursor_scale=2).
+                # The policy residual (one per control step, the DeepMimic
+                # query rate) rides on top of every substep's target.
+                fracs = jnp.arange(
+                    1, self.n_substeps + 1, dtype=jnp.float32
+                ) / self.n_substeps
+                idx_s, _ = jax.vmap(
+                    lambda f: self._clip_index(
+                        state.mocap_idx + f, state.init_idx))(fracs)
+                action = self.clip_qpos[idx_s][:, 7:] + action
+            else:
+                ref_idx, _ = self._clip_index(
+                    state.mocap_idx + (1 if imit else 0), state.init_idx)
+                action = self.clip_qpos[ref_idx][7:] + action
         qpos, qvel = self._dynamics(state.qpos, state.qvel, action)
         kin = kinematics.fk(self.model, qpos)
         com = kinematics.mass_center(self.model, kin)

@@ -38,7 +38,8 @@ class DPEnvV3Multi:
                  reward_mode: str = "imitation_dm",
                  obs_mode: str = "full",
                  clip_weights: Optional[Sequence[float]] = None,
-                 termination: str = "fall_contact"):
+                 termination: str = "fall_contact",
+                 clip_velocities: str = "consistent"):
         """``clip_weights``: RSI skill-sampling probabilities (uniform when
         None) — up-weight hard skills so they aren't starved by easy ones in
         the shared batch.  ``termination``: 'fall_contact' (original
@@ -59,11 +60,18 @@ class DPEnvV3Multi:
         for k, c in enumerate(loaded):
             T = len(c)
             lens[k] = T
-            qpos[k, :T] = c.qpos
-            qvel[k, :T] = c.qvel
+            # 'consistent' = continuous pose track + integrator-consistent
+            # FD velocities (MocapClip.qpos_cont/qvel_fd — the reference's
+            # arrays carry euler branch flips and a negated-ω velocity
+            # quirk that poison PD feed-forwards/RSI states on fast clips)
+            consistent = clip_velocities == "consistent"
+            cp = c.qpos_cont if consistent else c.qpos
+            cv = c.qvel_fd if consistent else c.qvel
+            qpos[k, :T] = cp
+            qvel[k, :T] = cv
             # pad with the final frame so clamped indexing is trivial
-            qpos[k, T:] = c.qpos[-1]
-            qvel[k, T:] = c.qvel[-1]
+            qpos[k, T:] = cp[-1]
+            qvel[k, T:] = cv[-1]
             wraps[k] = c.loop == "wrap"
             if wraps[k]:
                 off = np.asarray(c.qpos[-1, 0:3] - c.qpos[0, 0:3])

@@ -105,7 +105,8 @@ _W_ROOT = 1.0  # JOINT_WEIGHT["root"]
 
 
 def deepmimic_reward(qpos, qvel, ref_qpos, ref_qvel,
-                     ee_pos, ref_ee_pos, com_vel, ref_com_vel) -> jnp.ndarray:
+                     ee_pos, ref_ee_pos, com_vel, ref_com_vel,
+                     return_terms: bool = False) -> jnp.ndarray:
     """The ORIGINAL DeepMimic imitation reward, per the C++ spec the
     reference keeps as a comment (env/deepmimic_env_mujoco.py:17-143):
 
@@ -160,11 +161,19 @@ def deepmimic_reward(qpos, qvel, ref_qpos, ref_qvel,
 
     com_err = 0.1 * jnp.sum((com_vel - ref_com_vel) ** 2)
 
-    return (WEIGHT_POSE * jnp.exp(-SCALE_ERR * SCALE_POSE * pose_err)
-            + WEIGHT_VEL * jnp.exp(-SCALE_ERR * SCALE_VEL * vel_err)
-            + WEIGHT_END_EFF * jnp.exp(-SCALE_ERR * SCALE_END_EFF * ee_err)
-            + WEIGHT_ROOT * jnp.exp(-SCALE_ERR * SCALE_ROOT * root_err)
-            + WEIGHT_COM * jnp.exp(-SCALE_ERR * SCALE_COM * com_err))
+    terms = {
+        "pose": jnp.exp(-SCALE_ERR * SCALE_POSE * pose_err),
+        "vel": jnp.exp(-SCALE_ERR * SCALE_VEL * vel_err),
+        "ee": jnp.exp(-SCALE_ERR * SCALE_END_EFF * ee_err),
+        "root": jnp.exp(-SCALE_ERR * SCALE_ROOT * root_err),
+        "com": jnp.exp(-SCALE_ERR * SCALE_COM * com_err),
+    }
+    r = (WEIGHT_POSE * terms["pose"] + WEIGHT_VEL * terms["vel"]
+         + WEIGHT_END_EFF * terms["ee"] + WEIGHT_ROOT * terms["root"]
+         + WEIGHT_COM * terms["com"])
+    if return_terms:
+        return r, terms
+    return r
 
 
 def imitation_reward(

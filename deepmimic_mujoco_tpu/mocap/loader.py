@@ -66,6 +66,48 @@ class MocapClip:
         return self.qpos.shape[0]
 
     @property
+    def qpos_cont(self) -> np.ndarray:
+        """Temporally-continuous pose track (see :func:`continuous_qpos`):
+        same rotations as :attr:`qpos`, euler branch flips and ±2π jumps
+        removed.  What the imitation envs use for PD feed-forward targets,
+        RSI resets and reward references under
+        ``clip_velocities='consistent'``."""
+        if self._qpos_cont is None:
+            object.__setattr__(self, "_qpos_cont",
+                               continuous_qpos(self.qpos))
+        return self._qpos_cont
+
+    _qpos_cont: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def qvel_fd(self) -> np.ndarray:
+        """Integrator-consistent velocities (the exact discrete inverse of
+        ``engine.integrate_pos``): frame k's velocity takes qpos[k] to
+        qpos[k+1] over duration[k] — world-frame FD for the root position,
+        body-local quaternion log for the root rotation, ±π-wrapped FD for
+        the hinge euler rates.
+
+        The reference's ``qvel`` (kept verbatim in :attr:`qvel` for parity)
+        is broken two ways (mocap_v2.py:64-76,113): ``calc_rot_vel(curr,
+        prev)`` returns the NEGATED body angular velocity, and for spherical
+        joints that ω-vector is stored in the euler-rxyz *rate* slots — a
+        frame mismatch.  Slow clips tolerate it; fast clips (spinkick 60 fps
+        spin, backflip) get reference velocities that are dynamically
+        inconsistent with the pose track, which poisons RSI reset states and
+        the velocity-reward targets (measured: spinkick one-step PD tracking
+        reward 0.476 with the quirk arrays → 0.823 with consistent ones —
+        tools/tracking_ceiling_probe.py)."""
+        if self._qvel_fd is None:
+            object.__setattr__(
+                self, "_qvel_fd",
+                consistent_qvel(self.qpos_cont, self.durations, self.loop))
+        return self._qvel_fd
+
+    _qvel_fd: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
     def total_time(self) -> float:
         return float(self.durations.sum())
 
@@ -74,6 +116,99 @@ class MocapClip:
         re-runs in :func:`convert_frames` so the loader stays the single
         source of truth."""
         np.savez(path, frames=self.raw_frames, loop=self.loop, name=self.name)
+
+
+def continuous_qpos(qpos: np.ndarray) -> np.ndarray:
+    """Temporally-continuous hinge track for a converted clip.
+
+    The per-frame euler-rxyz extraction picks whichever branch the math
+    lands on; consecutive frames can flip between the two equivalent
+    solutions e and (x+π, π−y, z+π) (same rotation, ±2π-far coordinates).
+    The raw track is what the reference renders — but as a PD feed-forward
+    or FD-velocity source a branch flip is a fake ~2π/frame jump (measured:
+    spinkick's shoulder dofs spike to 178 rad/s at 4 frames; those are
+    exactly the frames where one-step PD tracking collapses to ~0.04).
+    This pass re-picks, per spherical triple per frame, the branch (and
+    per-dof 2π shift) closest to the previous frame, and unwraps 1-dof
+    joints — identical rotations, continuous coordinates."""
+    out = np.array(qpos, dtype=np.float64, copy=True)
+    off = 7
+    for j in BODY_JOINTS:
+        if DOF_DEF[j] == 3:
+            for k in range(1, out.shape[0]):
+                out[k, off:off + 3] = _nearest_branch(
+                    out[k - 1, off:off + 3], qpos[k, off:off + 3])
+            off += 3
+        else:
+            out[:, off] = np.unwrap(qpos[:, off])
+            off += 1
+    return out
+
+
+def _nearest_branch(prev3: np.ndarray, e3: np.ndarray) -> np.ndarray:
+    """Of the two equivalent euler-rxyz solutions for e3's rotation — e and
+    (x+π, π−y, z+π) — pick the one (with per-dof 2π shifts) closest to
+    ``prev3``."""
+    two_pi = 2.0 * np.pi
+    alt = np.array([e3[0] + np.pi, np.pi - e3[1], e3[2] + np.pi])
+    best, bestd = None, np.inf
+    for c in (e3, alt):
+        c = c + two_pi * np.round((prev3 - c) / two_pi)
+        d = np.abs(c - prev3).max()
+        if d < bestd:
+            best, bestd = c, d
+    return best
+
+
+def consistent_qvel(qpos: np.ndarray, durations: np.ndarray,
+                    loop: str) -> np.ndarray:
+    """(T, NV) integrator-consistent velocities for a converted pose track:
+    ``engine.integrate_pos(qpos[k], qvel[k], durations[k]) == qpos[k+1]``
+    exactly (root quat via the body-local exponential map, hinges linearly
+    with ±π wrap).  Looping clips close the cycle: the last frame's velocity
+    takes it to frame 0 shifted by the ground-plane cycle offset; non-looping
+    clips hold the previous frame's velocity."""
+    T = qpos.shape[0]
+    qv = np.zeros((T, NV))
+    nxt = np.empty_like(qpos)
+    nxt[:-1] = qpos[1:]
+    if loop == "wrap":
+        nxt[-1] = qpos[0]
+        off = qpos[-1, 0:3] - qpos[0, 0:3]
+        off[2] = 0.0
+        nxt[-1, 0:3] += off
+        # close the cycle through the euler branch of frame 0 nearest the
+        # (possibly unwrapped) last frame — a branch mismatch here would
+        # fake a ~π/frame velocity on the cycle-closing row
+        o = 7
+        for j in BODY_JOINTS:
+            if DOF_DEF[j] == 3:
+                nxt[-1, o:o + 3] = _nearest_branch(
+                    qpos[-1, o:o + 3], qpos[0, o:o + 3])
+                o += 3
+            else:
+                d1 = nxt[-1, o] - qpos[-1, o]
+                nxt[-1, o] = qpos[-1, o] + (
+                    np.mod(d1 + np.pi, 2.0 * np.pi) - np.pi)
+                o += 1
+    else:
+        nxt[-1] = qpos[-1]
+    dt = float(durations[0])
+    for k in range(T):
+        # some clips store 0 for the final frame's duration (nothing follows
+        # it in the file); the cycle-closing / held velocity uses the
+        # nominal frame dt instead
+        d = float(durations[k])
+        if d <= 1e-9:
+            d = dt
+        qv[k, 0:3] = (nxt[k, 0:3] - qpos[k, 0:3]) / d
+        # body-local ω: q_next = q ⊗ exp(ω d / 2)
+        qv[k, 3:6] = qnp.rot_vel(qpos[k, 3:7], nxt[k, 3:7], d)
+        dq = nxt[k, 7:] - qpos[k, 7:]
+        qv[k, 6:] = (np.mod(dq + np.pi, 2.0 * np.pi) - np.pi) / d
+    if loop != "wrap" and T > 1:
+        qv[-1] = qv[-2]
+    return qv
 
 
 def _parse_frame(frame: np.ndarray) -> dict:

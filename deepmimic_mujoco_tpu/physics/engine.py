@@ -373,7 +373,16 @@ def pd_torque(model: PhysicsModel, target: jnp.ndarray, qpos: jnp.ndarray,
     (mujoco_interface.action2torque, mujoco_interface.py:97-107)."""
     q = qpos[7:]
     qd = qvel[6:]
-    tau = kp * (target - q) - kd * qd
+    # position error wrapped to (−π, π]: hinge dofs are 2π-periodic (the
+    # spherical joints are euler-rxyz hinge stacks), so a target that is a
+    # different 2π-representative of the same rotation — e.g. a looping
+    # clip's cycle boundary — must not command a full-turn yank.  Bounded
+    # joints never see |err| ≥ π, so this is the identity for them (and for
+    # the reference's host loop, mujoco_interface.py:97-107, in its
+    # operating range).
+    err = target - q
+    err = jnp.mod(err + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    tau = kp * err - kd * qd
     lim = jnp.zeros(model.nv - 6, tau.dtype).at[model.actuator_hinge].add(
         jnp.asarray(model.actuator_gear, tau.dtype))
     tau = jnp.clip(tau, -lim, lim)
@@ -385,7 +394,15 @@ def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
     """Advance ``n_substeps`` steps under a PD controller tracking ``target``
     joint angles; the torque is re-evaluated from the instantaneous (q, q̇)
     at every integrator stage (stable at low control rates, unlike the
-    reference's one-torque-per-control-step host loop)."""
+    reference's one-torque-per-control-step host loop).
+
+    ``target`` may be ``(nu_joints,)`` — one target held for all substeps
+    (the reference's behaviour) — or ``(n_substeps, nu_joints)`` — a
+    per-substep target schedule.  The schedule form is how the imitation
+    envs feed a moving clip reference through a multi-substep control
+    period: holding one pose target for a 33 ms control step loses a 60 fps
+    clip (measured: spinkick one-step tracking reward 0.476 held vs 0.741
+    stepped — tools/tracking_ceiling_probe.py)."""
     return _step_pd_impl(model.integrator, model, qpos, qvel, target, kp, kd,
                          n_substeps=n_substeps)
 
@@ -394,17 +411,23 @@ def step_pd(model: PhysicsModel, qpos, qvel, target, kp, kd,
 def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
                   kp, kd, n_substeps: int = 1):
     zero_ctrl = jnp.zeros(model.nu, qvel.dtype)
-    sub = _make_substep(
-        model,
-        lambda qp, qv: (zero_ctrl, pd_torque(model, target, qp, qv, kp, kd)))
     f0 = jnp.zeros(_nefc_full(model), qvel.dtype)
+    # (n_substeps, nu_joints) = per-substep target schedule; the substep
+    # closure is traced once — the scanned target is just a carried operand
+    multi = target.ndim == 2
 
-    def body(carry, _):
+    def body(carry, tgt):
         qp, qv, f = carry
+        t = tgt if multi else target
+        sub = _make_substep(
+            model,
+            lambda a, b: (zero_ctrl, pd_torque(model, t, a, b, kp, kd)))
         return sub(qp, qv, f), None
 
     (qpos, qvel, _), _ = jax.lax.scan(
-        body, (qpos, qvel, f0), None, length=n_substeps)
+        body, (qpos, qvel, f0),
+        target if multi else None,
+        length=None if multi else n_substeps)
     return qpos, qvel
 
 

@@ -275,3 +275,33 @@ def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,
     lines.append("  </actuator>")
     lines.append("</mujoco>")
     return "\n".join(lines)
+
+
+def mocap_hinge_range(model: PhysicsModel | None = None,
+                      clips=None, margin: float = 0.1) -> PhysicsModel:
+    """Widen the hinge limit ranges to the union of the bundled mocap
+    clips' continuous pose tracks plus ``margin`` (never narrows).
+
+    The reference XML's joint ranges exclude poses its own motion data
+    demands: spinkick violates them on 43/78 frames (up to 2.05 rad
+    beyond), backflip on 14/29 — only walk-class clips fit
+    (/root/reference/src/mujoco/humanoid_deepmimic/envs/asset/dp_env_v3.xml
+    vs src/mujoco/motions/*).  The limit rows then fight the PD controller
+    on every acrobatic frame: measured one-step tracking ceilings rise
+    0.713→0.887 (spinkick) and 0.317→0.651 (backflip) with widened ranges
+    (tools/tracking_ceiling_probe.py).  XML-parity ranges remain the
+    ``build_humanoid`` default; imitation training recipes opt in via
+    ``--joint-limits mocap``."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from deepmimic_mujoco_tpu.mocap.registry import available_clips, get_clip
+
+    if model is None:
+        model = build_humanoid()
+    rng = _np.asarray(model.hinge_range).copy()
+    for name in (clips if clips is not None else available_clips()):
+        t = get_clip(name).qpos_cont[:, 7:]
+        rng[:, 0] = _np.minimum(rng[:, 0], t.min(0) - margin)
+        rng[:, 1] = _np.maximum(rng[:, 1], t.max(0) + margin)
+    return dataclasses.replace(model, hinge_range=jnp.asarray(rng))

@@ -118,8 +118,10 @@ class TestRewardAndTermination:
         env2 = DeepMimicEnv(clip="walk", reward_mode="imitation")
         env2.reset()
         # place the character exactly on mocap frame 0 → near-perfect reward
+        # (velocity from the integrator-consistent track the reward scores
+        # against — MocapClip.qvel_fd; the quirk array zeroes frame 0)
         env2.qpos = jnp.asarray(env2.mocap.qpos[0], jnp.float32)
-        env2.qvel = jnp.asarray(env2.mocap.qvel[0], jnp.float32)
+        env2.qvel = jnp.asarray(env2.mocap.qvel_fd[0], jnp.float32)
         r = env2.calc_reward()
         assert r > 0.9, r
         # stub mode keeps the reference's placeholder (random in [-0.5,0.5))

@@ -208,3 +208,79 @@ class TestLegacyV1Surface:
         clip = get_clip("walk")
         np.testing.assert_allclose(np.asarray(m.data_vel[1:]),
                                    np.asarray(clip.qvel)[1:], atol=1e-6)
+
+
+class TestConsistentVelocities:
+    """MocapClip.qvel_fd — the integrator-consistent velocity track that
+    replaces the reference's negated-ω quirk arrays for training defaults
+    (loader.consistent_qvel)."""
+
+    def test_roundtrip_through_integrate_pos(self):
+        """integrate_pos(qpos_cont[k], qvel_fd[k], dur[k]) == qpos_cont[k+1]
+        (up to quaternion float error) — the defining property.  qvel_fd is
+        defined on the CONTINUOUS track (branch flips removed), not the raw
+        extraction."""
+        import jax.numpy as jnp
+
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+
+        model = build_humanoid()
+        for name in ("walk", "spinkick"):
+            clip = get_clip(name)
+            qv = clip.qvel_fd
+            assert np.isfinite(qv).all()
+            for k in (0, len(clip) // 2, len(clip) - 2):
+                d = float(clip.durations[k]) or clip.dt
+                nxt = np.asarray(engine.integrate_pos(
+                    model, jnp.asarray(clip.qpos_cont[k], jnp.float64),
+                    jnp.asarray(qv[k], jnp.float64), d))
+                tgt = clip.qpos_cont[k + 1]
+                # position + hinges exact; quaternion up to sign
+                np.testing.assert_allclose(nxt[:3], tgt[:3], atol=1e-6)
+                np.testing.assert_allclose(nxt[7:], tgt[7:], atol=1e-6)
+                qd = min(np.abs(nxt[3:7] - tgt[3:7]).max(),
+                         np.abs(nxt[3:7] + tgt[3:7]).max())
+                assert qd < 1e-6, (name, k, qd)
+
+    def test_wrap_clip_closes_cycle(self):
+        """Looping clip: the last frame's velocity heads to frame 0 (with the
+        ground-plane cycle offset), not to garbage."""
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+
+        clip = get_clip("walk")
+        assert clip.loop == "wrap"
+        qv = clip.qvel_fd
+        d = float(clip.durations[-1]) or clip.dt
+        off = clip.qpos[-1, 0:3] - clip.qpos[0, 0:3]
+        off[2] = 0.0
+        expect = (clip.qpos[0, 0:3] + off - clip.qpos[-1, 0:3]) / d
+        np.testing.assert_allclose(qv[-1, 0:3], expect, atol=1e-9)
+
+    def test_reference_quirk_array_unchanged(self):
+        """The parity array (clip.qvel) keeps the reference's semantics —
+        qvel_fd is an ADDITIONAL track, not a rewrite."""
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+
+        clip = get_clip("spinkick")
+        # the quirk array differs from the consistent one on a fast clip
+        assert np.abs(np.asarray(clip.qvel)[1:-1]
+                      - clip.qvel_fd[1:-1]).max() > 1.0
+        # and frame 0 keeps the reference's vel≡0 quirk
+        np.testing.assert_allclose(np.asarray(clip.qvel)[0, :6], 0.0)
+
+    def test_env_velocity_selection(self):
+        """DPEnvV3 defaults to consistent velocities; 'reference' opts back
+        into the quirk arrays."""
+        from deepmimic_mujoco_tpu.envs.dp_env_v3 import DPEnvV3
+
+        e_new = DPEnvV3(clip="spinkick", reward_mode="imitation_dm",
+                        control_mode="pd_residual", n_substeps=2)
+        e_ref = DPEnvV3(clip="spinkick", reward_mode="imitation_dm",
+                        control_mode="pd_residual", n_substeps=2,
+                        clip_velocities="reference")
+        clip = e_new.clip
+        np.testing.assert_allclose(np.asarray(e_new.clip_qvel),
+                                   clip.qvel_fd.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(e_ref.clip_qvel),
+                                   np.asarray(clip.qvel).astype(np.float32))

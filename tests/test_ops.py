@@ -266,3 +266,32 @@ class TestWarmIntegration:
         err = float(jnp.max(jnp.abs(bf16 - f32)))
         scale = float(jnp.max(jnp.abs(f32))) + 1e-6
         assert err < 0.03 * scale, (err, scale)
+
+
+class TestPDTargetSchedule:
+    """engine.step_pd with a (n_substeps, nu_joints) per-substep target
+    schedule (the imitation envs' moving feed-forward)."""
+
+    def test_schedule_matches_manual_substeps(self):
+        from deepmimic_mujoco_tpu.mocap.constants import kp_kd_vectors
+        from deepmimic_mujoco_tpu.physics import build_humanoid, engine
+
+        model = build_humanoid()
+        kp, kd = kp_kd_vectors()
+        kp = jnp.asarray(kp, jnp.float32)
+        kd = jnp.asarray(kd, jnp.float32)
+        qp, qv = model.qpos0, jnp.zeros(model.nv)
+        t0 = qp[7:]
+        t1 = t0 + 0.05
+        sched = jnp.stack([t0, t1])
+        # scheduled 2-substep call == two single-substep calls
+        qp_a, qv_a = engine.step_pd(model, qp, qv, sched, kp, kd,
+                                    n_substeps=2)
+        qp_m, qv_m = engine.step_pd(model, qp, qv, t0, kp, kd, n_substeps=1)
+        qp_m, qv_m = engine.step_pd(model, qp_m, qv_m, t1, kp, kd,
+                                    n_substeps=1)
+        np.testing.assert_allclose(np.asarray(qp_a), np.asarray(qp_m),
+                                   rtol=0, atol=2e-5)
+        # and a held target stays the legacy path
+        qp_h, _ = engine.step_pd(model, qp, qv, t0, kp, kd, n_substeps=2)
+        assert np.abs(np.asarray(qp_h) - np.asarray(qp_a)).max() > 1e-6

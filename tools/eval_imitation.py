@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--episodes", type=int, default=32)
     p.add_argument("--horizon", type=int, default=300)
     p.add_argument("--platform", default=None)
+    p.add_argument("--joint-limits", default="xml",
+                   choices=["xml", "mocap"],
+                   help="must match the checkpoint's training flag")
     p.add_argument("--obs-mode", default=None, choices=["legacy", "full"])
     p.add_argument("--termination", default=None,
                    choices=["com", "fall_contact"])
@@ -48,7 +51,12 @@ def main() -> None:
     from deepmimic_mujoco_tpu.io_utils import checkpoint
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
-    env = DPEnvV3(clip=args.motion, reward_mode=args.reward_mode,
+    model = None
+    if args.joint_limits == "mocap":
+        from deepmimic_mujoco_tpu.physics.humanoid import mocap_hinge_range
+        model = mocap_hinge_range()
+    env = DPEnvV3(clip=args.motion, model=model,
+                  reward_mode=args.reward_mode,
                   control_mode=args.control_mode, n_substeps=2,
                   max_episode_steps=args.horizon, obs_mode=args.obs_mode,
                   termination=args.termination)

@@ -25,6 +25,9 @@ def main() -> None:
     p.add_argument("--hidden-sizes", default="1024,512")
     p.add_argument("--activation", default="relu")
     p.add_argument("--platform", default=None)
+    p.add_argument("--joint-limits", default="xml",
+                   choices=["xml", "mocap"],
+                   help="must match the checkpoint's training flag")
     args = p.parse_args()
 
     import jax
@@ -43,7 +46,12 @@ def main() -> None:
     from deepmimic_mujoco_tpu.models import MlpPolicy
 
     clips = tuple(args.motions.split(","))
-    env = DPEnvV3Multi(clips=clips, max_episode_steps=args.horizon)
+    model = None
+    if args.joint_limits == "mocap":
+        from deepmimic_mujoco_tpu.physics.humanoid import mocap_hinge_range
+        model = mocap_hinge_range()
+    env = DPEnvV3Multi(clips=clips, model=model,
+                       max_episode_steps=args.horizon)
     hidden = tuple(int(h) for h in args.hidden_sizes.split(","))
     policy = MlpPolicy(ob_dim=env.observation_size, ac_dim=env.action_size,
                        fixed_logstd=args.fixed_logstd, hidden_sizes=hidden,

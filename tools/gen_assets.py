@@ -45,8 +45,18 @@ def main() -> None:
         json.dump(DEFAULT_SPEC, f, indent=2)
 
     # arg files: the original DeepMimic '--key value…' scene configs
-    # (reference format: src/args/{train,run}_humanoid3d_<skill>_args.txt)
+    # (reference format: src/args/{train,run}_humanoid3d_<skill>_args.txt).
+    # fall_contact_bodies is per-skill (reference src/args/): floor-borne
+    # skills never terminate on contact (getup_*/roll have NO flag), crawl
+    # allows everything but root/chest/neck; upright skills use the full
+    # list.
+    fall_lines = {
+        "getup_facedown": "", "getup_faceup": "", "roll": "",
+        "crawl": "--fall_contact_bodies 0 1 2\n",
+    }
+    default_fall = ("--fall_contact_bodies 0 1 2 3 4 6 7 8 9 10 12 13 14\n")
     for skill in SKILLS:
+        fall = fall_lines.get(skill, default_fall)
         train = f"""\
 --scene imitate
 
@@ -58,8 +68,7 @@ def main() -> None:
 --char_types general
 --character_files assets/characters/humanoid3d.json
 --enable_char_soft_contact false
---fall_contact_bodies 0 1 2 3 4 6 7 8 9 10 12 13 14
-
+{fall}
 --char_ctrls ct_pd
 --char_ctrl_files assets/controllers/humanoid3d_ctrl.json
 --motion_file assets/motions/humanoid3d_{skill}.npz

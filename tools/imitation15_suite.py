@@ -38,7 +38,7 @@ TRAIN_ARGS = [
     "--reset-mode", "rsi", "--n-substeps", "2", "--max-episode-steps", "300",
     "--gamma", "0.95", "--lam", "0.95", "--fixed-logstd", "-3.0",
     "--hidden-sizes", "1024,512", "--activation", "relu",
-    "--num-envs", "64",
+    "--num-envs", "64", "--joint-limits", "mocap",
 ]
 
 
@@ -66,7 +66,7 @@ def run_clip(motion: str, iters: int, episodes: int, train_cap: int,
     cmd = [sys.executable, "-u", os.path.join(REPO, "tools",
                                               "eval_imitation.py"),
            "--ckpt", ckpt, "--motion", motion,
-           "--episodes", str(episodes),
+           "--episodes", str(episodes), "--joint-limits", "mocap",
            "--hidden-sizes", "1024,512", "--activation", "relu"]
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                        timeout=eval_cap)
@@ -95,8 +95,8 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--iters", type=int, default=150)
     p.add_argument("--episodes", type=int, default=16)
-    p.add_argument("--train-cap", type=int, default=1500)
-    p.add_argument("--eval-cap", type=int, default=700)
+    p.add_argument("--train-cap", type=int, default=2000)
+    p.add_argument("--eval-cap", type=int, default=900)
     p.add_argument("--out", default="benchdata/imitation15_r4.json")
     p.add_argument("--clips", default="")
     p.add_argument("--log-root", default="train_logs_imit15")
