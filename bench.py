@@ -175,7 +175,12 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", 5))
     # per-phase breakdown is on by default (BENCH_BREAKDOWN=0 disables)
     breakdown = os.environ.get("BENCH_BREAKDOWN", "1") not in ("0", "")
-    sweep_env = os.environ.get("BENCH_SWEEP", "")
+    # default sweep: the batch-scaling envelope (768/2048/4096) rides in the
+    # driver-visible payload — the v5e-16 projection rests on it.
+    # BENCH_SWEEP overrides the list; BENCH_SWEEP=0 disables.
+    sweep_env = os.environ.get("BENCH_SWEEP", "768,2048,4096")
+    if sweep_env in ("0", "none"):
+        sweep_env = ""
 
     result = measure(num_envs, horizon, iters, breakdown)
     payload = {

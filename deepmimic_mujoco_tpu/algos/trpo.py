@@ -177,9 +177,15 @@ class TRPO:
             ep_len = jnp.where(done, 0, ep_len)
 
             # auto-reset finished envs: noise reset (trpo.py:78-79) or RSI
-            reset_fn = pick_reset_fn(self.env, cfg.reset_mode)
             k_resets = jax.vmap(lambda k: jax.random.split(k)[0])(next_state.key)
-            fresh = jax.vmap(reset_fn)(k_resets)
+            if cfg.reset_mode == "rsi_pinned":
+                # RSI that keeps each env's current clip — lanes of
+                # independent per-skill learners stay on their skill
+                fresh = jax.vmap(self.env.reset_keep_clip)(
+                    k_resets, next_state)
+            else:
+                reset_fn = pick_reset_fn(self.env, cfg.reset_mode)
+                fresh = jax.vmap(reset_fn)(k_resets)
 
             def pick(a, b):
                 mask = done.reshape((-1,) + (1,) * (a.ndim - 1))

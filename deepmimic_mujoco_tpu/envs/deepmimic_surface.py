@@ -102,12 +102,20 @@ def load_fall_contact_bodies(clip_name: str) -> tuple:
     except OSError:
         return DEFAULT_FALL_CONTACT_BODIES
     try:
+        # floor-borne skills (getup_facedown/getup_faceup/roll) disable
+        # contact-fall termination outright via --enable_char_contact_fall
+        # false (reference src/args/train_humanoid3d_getup_facedown_args.
+        # txt:20) — that flag wins over any body list
+        i = toks.index("--enable_char_contact_fall")
+        if toks[i + 1].lower() == "false":
+            return ()
+    except (ValueError, IndexError):
+        pass
+    try:
         i = toks.index("--fall_contact_bodies")
     except ValueError:
-        # arg file exists but carries no flag — reference semantics: the
-        # fall-contact list is EMPTY, contact never terminates (the
-        # floor-borne skills: getup_facedown/getup_faceup/roll have no
-        # --fall_contact_bodies line in src/args/)
+        # arg file exists but carries no body list either — contact never
+        # terminates
         return ()
     out = []
     for t in toks[i + 1:]:

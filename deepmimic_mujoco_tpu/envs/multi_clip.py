@@ -39,7 +39,8 @@ class DPEnvV3Multi:
                  obs_mode: str = "full",
                  clip_weights: Optional[Sequence[float]] = None,
                  termination: str = "fall_contact",
-                 clip_velocities: str = "consistent"):
+                 clip_velocities: str = "consistent",
+                 pd_target_interp: bool = True):
         """``clip_weights``: RSI skill-sampling probabilities (uniform when
         None) — up-weight hard skills so they aren't starved by easy ones in
         the shared batch.  ``termination``: 'fall_contact' (original
@@ -90,6 +91,10 @@ class DPEnvV3Multi:
         self.n_substeps = n_substeps
         self.max_episode_steps = max_episode_steps
         self.control_mode = control_mode
+        # per-substep PD feed-forward (see DPEnvV3.step: holding one clip
+        # target across a 33 ms control step loses 60 fps clips — measured
+        # spinkick one-step tracking 0.476 held vs 0.741 stepped)
+        self.pd_target_interp = pd_target_interp
         if obs_mode not in ("legacy", "full"):
             raise ValueError(f"unknown obs_mode {obs_mode!r}")
         self.obs_mode = obs_mode
@@ -205,6 +210,19 @@ class DPEnvV3Multi:
         return self._state(self.clip_qpos[clip_id, idx],
                            self.clip_qvel[clip_id, idx], key, clip_id, idx)
 
+    def reset_keep_clip(self, key: jax.Array, state: EnvState) -> EnvState:
+        """RSI over a random frame of the SAME clip the episode was running
+        (``reset_mode='rsi_pinned'``): lanes of independent per-skill
+        learners vmapped over one shared compiled program each keep their
+        own skill (tools/imitation15_vmapped.py) instead of resampling by
+        ``clip_weights``."""
+        k_i, key = jax.random.split(key)
+        clip_id = state.clip_id
+        idx = jax.random.randint(
+            k_i, (), 0, 1 << 30) % self.clip_lens[clip_id]
+        return self._state(self.clip_qpos[clip_id, idx],
+                           self.clip_qvel[clip_id, idx], key, clip_id, idx)
+
     # ------------------------------------------------------------------
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         clip_id = state.clip_id
@@ -214,7 +232,19 @@ class DPEnvV3Multi:
         mocap_idx = state.mocap_idx + 1
         ref_idx, _ = self._clip_index(clip_id, mocap_idx, state.init_idx)
         if self.control_mode == "pd_residual":
-            action = self.clip_qpos[clip_id, ref_idx][7:] + action
+            if self.pd_target_interp and self.n_substeps > 1:
+                # per-substep feed-forward: each substep targets the clip
+                # pose it should reach (DPEnvV3.step rationale); the policy
+                # residual (one per control step) rides on every target
+                fracs = jnp.arange(
+                    1, self.n_substeps + 1, dtype=jnp.float32
+                ) / self.n_substeps
+                idx_s, _ = jax.vmap(
+                    lambda f: self._clip_index(
+                        clip_id, state.mocap_idx + f, state.init_idx))(fracs)
+                action = self.clip_qpos[clip_id, idx_s][:, 7:] + action
+            else:
+                action = self.clip_qpos[clip_id, ref_idx][7:] + action
         qpos, qvel = engine.step_pd(
             self.model, state.qpos, state.qvel, action, self._kp, self._kd,
             n_substeps=self.n_substeps)
