@@ -22,7 +22,13 @@ Semantics preserved:
 Note: upstream v1 runs on a ball-joint MJCF (dp_env_v1.xml).  A ball joint
 and an x,y,z hinge stack at the same anchor are kinematically identical; we
 run on the hinge model and reconstruct joint quaternions from the hinge
-triples, so rewards match while per-dof armature/damping differ slightly.
+triples.  Measured (tools/ball_vs_hinge_study.py, real MuJoCo 3.10 on the
+reference XML vs an identically-parameterized hinge twin,
+benchdata/ball_vs_hinge_v1.json): forward kinematics agree to < 5e-10 m on
+every frame of all 15 clips, and under identical stable-PD clip tracking
+the per-step v1 reward differs by mean 0.019 / max 0.058 per clip; the
+ball joint's total-angle cone limits (inexpressible per-axis) contribute
+at most 0.078 of that under tracking control.
 """
 
 from __future__ import annotations

@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--n-starts", type=int, default=8,
                    help="RSI starts for the open-loop rollout")
     p.add_argument("--clips", default="")
+    p.add_argument("--joint-limits", default="xml", choices=["xml", "mocap"],
+                   help="mocap = widen hinge ranges to cover the clip poses "
+                        "(physics/humanoid.py mocap_hinge_range)")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -56,9 +59,15 @@ def main() -> None:
 
     clips = (args.clips.split(",") if args.clips else available_clips())
 
+    model = None
+    if args.joint_limits == "mocap":
+        from deepmimic_mujoco_tpu.physics.humanoid import mocap_hinge_range
+
+        model = mocap_hinge_range(None)
+
     rows = []
     for name in clips:
-        env = DPEnvV3(clip=name, reward_mode="imitation_dm",
+        env = DPEnvV3(clip=name, model=model, reward_mode="imitation_dm",
                       control_mode="pd_residual", n_substeps=2,
                       max_episode_steps=args.horizon)
         zero = jnp.zeros(env.action_size, jnp.float32)
