@@ -196,8 +196,11 @@ class TRPO:
             out = (ob, ac, vpred, rew, new, ended_ret, ended_len, done)
             return (env_state2, done, key, ep_ret, ep_len), out
 
+        from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
         carry0 = (env_state, new0, key, cur_ep_ret, cur_ep_len)
-        carry, traj = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon)
+        carry, traj = jax.lax.scan(step_fn, carry0, None, length=cfg.horizon,
+                                   unroll=unroll_for("horizon", cfg.horizon))
         env_state, new_last, key, ep_ret, ep_len = carry
         obs, acs, vpreds, rews, news, e_rets, e_lens, dones = traj
         nextvpred = self.policy.value(params, env_state.obs) * (

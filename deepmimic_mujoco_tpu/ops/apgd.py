@@ -204,9 +204,11 @@ def _apgd_scan(a, b, mu, f0, *, iterations, nc, nl):
         return (f_new, y_new, t_new), None
 
     f0 = project(f0[perm])
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
     (f, _, _), _ = jax.lax.scan(
         iteration, (f0, f0, jnp.asarray(1.0, b.dtype)), None,
-        length=iterations)
+        length=iterations, unroll=unroll_for("solver", iterations))
     return f[inv]
 
 

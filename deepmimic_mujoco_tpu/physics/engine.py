@@ -70,8 +70,12 @@ def mass_inverse(m: jnp.ndarray, lo_iters: int = _NS_ITERS_LO,
         return jnp.matmul(x, eye2 - jnp.matmul(b, x, precision=hi),
                           precision=hi), None
 
-    x, _ = jax.lax.scan(body_lo, x, None, length=lo_iters)
-    x, _ = jax.lax.scan(body_hi, x, None, length=hi_iters)
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
+    x, _ = jax.lax.scan(body_lo, x, None, length=lo_iters,
+                        unroll=unroll_for("ns", lo_iters))
+    x, _ = jax.lax.scan(body_hi, x, None, length=hi_iters,
+                        unroll=unroll_for("ns", hi_iters))
     return x * dinv[..., None, :] * dinv[..., :, None]
 
 
@@ -225,10 +229,12 @@ def _rk4_substep(model: PhysicsModel, qpos, qvel, fwd, f_warm):
         return (kv, ka, acc_v + b_i * kv, acc_a + b_i * ka,
                 out.contact_force), None
 
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
     zeros_v = jnp.zeros_like(qvel)
     carry0 = (zeros_v, zeros_v, zeros_v, zeros_v, f_warm)
     (_, _, v_avg, a_avg, f_last), _ = jax.lax.scan(
-        stage, carry0, (a_coefs, b_coefs))
+        stage, carry0, (a_coefs, b_coefs), unroll=unroll_for("stages", 4))
     qpos_new = integrate_pos(model, qpos, v_avg, dt)
     qvel_new = qvel + dt * a_avg
     return qpos_new, qvel_new, f_last
@@ -302,9 +308,11 @@ def _rk4_substep_frozen(model: PhysicsModel, qpos, qvel, ctrl_fn, f_warm):
         ka, f_i = stage_forward(qp_i, qv_i, f_prev, it_rest)
         return (qv_i, ka, acc_v + b_i * qv_i, acc_a + b_i * ka, f_i), None
 
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
     carry0 = (qvel, ka1, qvel / 6.0, ka1 / 6.0, f1)
     (_, _, v_avg, a_avg, f_last), _ = jax.lax.scan(
-        stage, carry0, (a_coefs, b_coefs))
+        stage, carry0, (a_coefs, b_coefs), unroll=unroll_for("stages", 3))
     qpos_new = integrate_pos(model, qpos, v_avg, dt)
     qvel_new = qvel + dt * a_avg
     return qpos_new, qvel_new, f_last
@@ -424,10 +432,14 @@ def _step_pd_impl(integrator: str, model: PhysicsModel, qpos, qvel, target,
             lambda a, b: (zero_ctrl, pd_torque(model, t, a, b, kp, kd)))
         return sub(qp, qv, f), None
 
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
     (qpos, qvel, _), _ = jax.lax.scan(
         body, (qpos, qvel, f0),
         target if multi else None,
-        length=None if multi else n_substeps)
+        length=None if multi else n_substeps,
+        unroll=unroll_for("substeps",
+                          target.shape[0] if multi else n_substeps))
     return qpos, qvel
 
 
@@ -441,8 +453,11 @@ def _step_impl(integrator: str, model: PhysicsModel, qpos, qvel, ctrl,
         qp, qv, f = carry
         return sub(qp, qv, f), None
 
+    from deepmimic_mujoco_tpu.utils.unroll import unroll_for
+
     (qpos, qvel, _), _ = jax.lax.scan(
-        body, (qpos, qvel, f0), None, length=n_substeps)
+        body, (qpos, qvel, f0), None, length=n_substeps,
+        unroll=unroll_for("substeps", n_substeps))
     return qpos, qvel
 
 

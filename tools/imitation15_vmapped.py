@@ -61,6 +61,14 @@ def main() -> None:
     p.add_argument("--log-root", default="train_logs_imit15_r5")
     p.add_argument("--resume", default=None,
                    help="path of a vmapped imit15_state.npz to continue")
+    p.add_argument("--resume-lanes", action="store_true",
+                   help="slice this run's --clips lanes out of --resume (a "
+                        "checkpoint trained with different/more clips, lane "
+                        "order --resume-clips): params + optimizer + obs-RMS "
+                        "transfer, env batches re-init at the new --envs")
+    p.add_argument("--resume-clips", default=",".join(CLIPS15),
+                   help="clip list the --resume checkpoint was trained with "
+                        "(lane order), for --resume-lanes")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; evaluate --resume")
     p.add_argument("--platform", default=None)
@@ -116,7 +124,21 @@ def main() -> None:
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *lane_states)
     del lane_states
 
-    if args.resume:
+    if args.resume and args.resume_lanes:
+        # lane surgery: the checkpoint is (L_old, ...) stacked over
+        # --resume-clips; TRPOState's treedef is shape-independent, so the
+        # new states work as the structure template and we slice the learned
+        # lanes out.  Env batches (clip ids + E may differ) start fresh.
+        src = args.resume_clips.split(",")
+        idx = np.asarray([src.index(c) for c in clips])
+        old = checkpoint.load(args.resume, states)
+        states = dataclasses.replace(
+            states,
+            params=jax.tree.map(lambda a: jnp.asarray(a)[idx], old.params),
+            vf_adam=jax.tree.map(lambda a: jnp.asarray(a)[idx], old.vf_adam))
+        print(f"resumed lanes {list(zip(clips, idx.tolist()))} from "
+              f"{args.resume}", flush=True)
+    elif args.resume:
         states = checkpoint.load(args.resume, states)
 
     viter = jax.jit(jax.vmap(learner.iteration))
