@@ -284,3 +284,33 @@ class TestConsistentVelocities:
                                    clip.qvel_fd.astype(np.float32))
         np.testing.assert_allclose(np.asarray(e_ref.clip_qvel),
                                    np.asarray(clip.qvel).astype(np.float32))
+
+
+class TestFixedTrackRegression:
+    """Regression pin for the round-4 imitation-ceiling root cause: the
+    corrected tracks (``qpos_cont`` euler continuity + ``qvel_fd``
+    integrator-consistent velocities) must stay finite and physically
+    bounded for EVERY bundled clip.  Before the fix, per-frame quat→euler
+    branch flips spiked finite-difference rates to 178 rad/s and fed the
+    iter-0 ``non-finite meankl`` abort on dance_a (chainlog/imit15.log,
+    round 4); the r5 vmapped 15-lane run trains all clips finite on the
+    fixed tracks."""
+
+    # rad/s: the fixed tracks peak at 87.7 (getup_facedown's fast
+    # transition frames); the pre-fix euler-branch defect spiked to 178.
+    # 120 separates real clip dynamics from branch-flip artifacts.
+    MAX_RATE = 120.0
+
+    @pytest.mark.parametrize("name", sorted(SKILLS))
+    def test_tracks_finite_and_bounded(self, name):
+        clip = get_clip(name)
+        cont = clip.qpos_cont
+        vel = clip.qvel_fd
+        assert np.isfinite(cont).all() and np.isfinite(vel).all()
+        # continuity: no euler-branch jumps between consecutive frames
+        djoint = np.abs(np.diff(cont[:, 7:], axis=0)).max()
+        assert djoint < np.pi, f"{name}: branch flip (d={djoint:.2f} rad)"
+        # FD velocities bounded by human-motion rates (pre-fix: 178 rad/s)
+        assert np.abs(vel[:, 6:]).max() < self.MAX_RATE, (
+            f"{name}: joint rate {np.abs(vel[:, 6:]).max():.1f} rad/s")
+        assert np.abs(vel[:, :3]).max() < 10.0  # root m/s
