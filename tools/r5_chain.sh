@@ -66,6 +66,14 @@ fi
     --out benchdata/imitation5_r5.json \
     --ckpt-root train_ckpt_imit5_r5 --log-root train_logs_imit5_r5
 
-# 5. final driver-visible bench (full sweep, warm cache)
-[ -z "$SKIP5" ] && run 2400 bench_final_r5.log python -u bench.py
+# 5. dp_policy PPO extension (VERDICT r4 #7): continue the r4b run toward
+#    a decisive Test_Return curve at the spec's pinned 2.5e-6 stepsize
+[ -z "$SKIP5" ] && run 5400 dp_ppo_r5.log \
+    python -u -m deepmimic_mujoco_tpu.cli.train_ppo \
+    --surface deepmimic --motion walk --num-envs 512 --num-iters 700 \
+    --resume train_ckpt_dp_ppo_r4b/deepmimic/ppo-walk-0/ppo_params.npz \
+    --log-dir train_logs_dp_ppo_r5 --checkpoint-dir train_ckpt_dp_ppo_r5
+
+# 6. final driver-visible bench (full sweep, warm cache)
+[ -z "$SKIP6" ] && run 2400 bench_final_r5.log python -u bench.py
 echo "== CHAIN5 DONE at $(date -u +%H:%M:%S)" >> chainlog/chain_r5.log
