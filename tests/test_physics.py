@@ -24,9 +24,14 @@ from deepmimic_mujoco_tpu.physics.humanoid import to_mjcf  # noqa: E402
 @pytest.fixture(scope="module")
 def model():
     # solver-exactness tests pin the legacy exact-cold configuration; the
-    # production default (warm25 + bf16 dual storage) has its own budget
-    # tests in tests/test_ops.py TestWarmIntegration
-    return build_humanoid(warm_iterations=0, solver_dtype="f32")
+    # production default (warm + bf16 dual storage + stage-frozen RK4) has
+    # its own budget tests in tests/test_ops.py TestWarmIntegration.
+    # stage_reuse="none" matters: the r4 default flip to stage-frozen
+    # kinematics silently put these MuJoCo-pointwise tests on the O(dt)
+    # frozen approximation (airborne trajectory drifted to 1.7e-3 > the
+    # 1e-3 budget).
+    return build_humanoid(warm_iterations=0, solver_dtype="f32",
+                          stage_reuse="none")
 
 
 @pytest.fixture(scope="module")
