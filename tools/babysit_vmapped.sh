@@ -23,7 +23,13 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     attempt=$((attempt + 1))
     RESUME=""
     if [ -f "$CKPT_ROOT/imit15_state.npz" ] && [ "$attempt" -gt 1 ]; then
+        # our own checkpoint has exactly this run's lanes: override any
+        # --resume/--resume-clips in "$@" (argparse last-wins) and make the
+        # lane surgery an identity map via RESUME_CLIPS (caller sets it to
+        # this run's --clips when the original args use --resume-lanes)
         RESUME="--resume $CKPT_ROOT/imit15_state.npz"
+        [ -n "${RESUME_CLIPS:-}" ] && \
+            RESUME="$RESUME --resume-clips $RESUME_CLIPS"
     fi
     left=$(( DEADLINE - $(date +%s) ))
     [ "$left" -le 120 ] && break
