@@ -69,6 +69,12 @@ def main() -> None:
     p.add_argument("--resume-clips", default=",".join(CLIPS15),
                    help="clip list the --resume checkpoint was trained with "
                         "(lane order), for --resume-lanes")
+    p.add_argument("--env-clips", default=None,
+                   help="clip tuple to build the env over (default: --clips)."
+                        "  Set to the PARENT run's full list when resuming a"
+                        " lane subset: the obs clip-one-hot keeps the parent"
+                        " width/indices so resumed policies see identical"
+                        " features")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; evaluate --resume")
     p.add_argument("--platform", default=None)
@@ -95,8 +101,15 @@ def main() -> None:
     clips = args.clips.split(",")
     L = len(clips)
     E = args.envs
+    # --env-clips decouples the env's clip tuple (and so the obs one-hot
+    # width/indices) from this run's lanes: pass the parent run's full list
+    # when resuming a lane subset so resumed policies see bit-identical
+    # features (a 5-clip env would shrink the one-hot 15->5 and break the
+    # input layer).
+    env_clips = (args.env_clips.split(",") if args.env_clips else clips)
+    lane_clip_ids = np.asarray([env_clips.index(c) for c in clips])
     env = DPEnvV3Multi(
-        clips=tuple(clips), model=mocap_hinge_range(),
+        clips=tuple(env_clips), model=mocap_hinge_range(),
         control_mode="pd_residual", n_substeps=2, max_episode_steps=300,
         reward_mode="imitation_dm", obs_mode="full",
         termination="fall_contact")
@@ -113,13 +126,14 @@ def main() -> None:
     root = jax.random.PRNGKey(args.seed)
     lane_states = []
     for k in range(L):
+        cid = int(lane_clip_ids[k])
         lk = jax.random.fold_in(root, k)
         st = learner.init(lk)
         ekeys = jax.random.split(jax.random.fold_in(lk, 999), E)
         idxs = jax.vmap(
             lambda kk: jax.random.randint(kk, (), 0, 1 << 30))(ekeys)
-        idxs = idxs % env.clip_lens[k]
-        es = jax.vmap(lambda kk, i: env.reset_at(kk, k, i))(ekeys, idxs)
+        idxs = idxs % env.clip_lens[cid]
+        es = jax.vmap(lambda kk, i: env.reset_at(kk, cid, i))(ekeys, idxs)
         lane_states.append(dataclasses.replace(st, env_state=es))
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *lane_states)
     del lane_states
@@ -220,7 +234,7 @@ def main() -> None:
 
     ev = jax.jit(jax.vmap(eval_lane))
     ep_len, rew_sum, perrs, alives = ev(
-        params, jnp.arange(L),
+        params, jnp.asarray(lane_clip_ids),
         jax.random.split(jax.random.PRNGKey(args.seed + 11), L))
     ep_len = np.asarray(ep_len, float)      # (L, B)
     rew_sum = np.asarray(rew_sum)           # (L, B)
