@@ -27,7 +27,32 @@ jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 # tests/test_parallel.py shard_map programs, 2026-08-17, fresh cache dir —
 # crash stack: compilation_cache.put_executable_and_time).  Old entries still
 # serve reads; the effectively-infinite min compile time disables writes.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# DMTPU_TEST_CACHE=w opts into writes for CONTROLLED warm-up runs (one small
+# module per fresh process keeps RSS far below the crash regime) — used to
+# populate benchdata/warm_test_cache/, the committed seed below that makes
+# the `-m fast` tier run warm (jit compiles on this 1-core host are 25-75 s
+# each; the fast tier would otherwise blow its <5 min budget on compiles).
+if os.environ.get("DMTPU_TEST_CACHE") == "w":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+
+# Seed the session cache from the committed warm copy (best-effort).
+_SEED_DIR = os.path.join(os.path.dirname(__file__), "..", "benchdata",
+                         "warm_test_cache")
+if os.path.isdir(_SEED_DIR):
+    import shutil
+
+    os.makedirs(os.path.abspath(_CACHE_DIR), exist_ok=True)
+    for _f in os.listdir(_SEED_DIR):
+        _dst = os.path.join(os.path.abspath(_CACHE_DIR), _f)
+        if not os.path.exists(_dst):
+            try:
+                _tmp = _dst + f".seed.{os.getpid()}"
+                shutil.copyfile(os.path.join(_SEED_DIR, _f), _tmp)
+                os.replace(_tmp, _dst)
+            except OSError:
+                pass
 
 import pytest  # noqa: E402
 

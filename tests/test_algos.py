@@ -4,6 +4,7 @@ recursion, CG, Adam parity, checkpoint roundtrip, and TRPO/GAIL smoke."""
 import numpy as np
 import pytest
 
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def gae_numpy(rew, vpred, new, nextvpred, gamma, lam):
     return adv, adv + vpred[:-1]
 
 
+@pytest.mark.fast
 class TestGAE:
     def test_matches_reference_recursion(self):
         rng = np.random.RandomState(0)
@@ -59,6 +61,7 @@ class TestGAE:
             np.testing.assert_allclose(np.asarray(adv[:, b]), adv_np, atol=1e-4)
 
 
+@pytest.mark.fast
 class TestCG:
     def test_solves_spd_system(self):
         rng = np.random.RandomState(0)
@@ -70,6 +73,7 @@ class TestCG:
         np.testing.assert_allclose(np.asarray(A @ np.asarray(x, np.float64)), b, atol=1e-2)
 
 
+@pytest.mark.fast
 class TestAdam:
     def test_matches_reference_math(self):
         """One step vs hand-computed MpiAdam update (mpi_adam.py:30-35)."""
@@ -85,6 +89,7 @@ class TestAdam:
         np.testing.assert_allclose(np.asarray(theta2), want, atol=1e-6)
 
 
+@pytest.mark.fast
 class TestMathUtil:
     def test_explained_variance(self):
         y = jnp.asarray([1.0, 2.0, 3.0, 4.0])
@@ -98,6 +103,7 @@ class TestMathUtil:
         np.testing.assert_allclose(np.asarray(got), [2.8, 2.0, 6.6, 4.0], atol=1e-5)
 
 
+@pytest.mark.fast
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from deepmimic_mujoco_tpu.io_utils import checkpoint
@@ -158,6 +164,7 @@ class TestCheckpoint:
             checkpoint.load(p, bad, allow_structure_drift=True)
 
 
+@pytest.mark.fast
 class TestDatasets:
     def test_iterbatches_drops_partial(self):
         from deepmimic_mujoco_tpu.algos.dataset import iterbatches
@@ -419,3 +426,56 @@ class TestPPO:
         state = learner.init(jax.random.PRNGKey(0))
         state2, _ = learner.iteration(state)
         np.testing.assert_allclose(float(state2.lr_scale), 0.5)
+
+
+@pytest.mark.slow
+class TestAllClipsFiniteIteration:
+    def test_one_trpo_iteration_every_clip(self):
+        """Regression for the round-4 dance_a iter-0 NaN
+        (chainlog/imit15.log: FloatingPointError non-finite meankl): one
+        TRPO iteration on EVERY bundled clip must produce finite KL and
+        parameters.  The pre-fix defective velocity tracks (euler-branch
+        flips at 178 rad/s) made the first dance_a batch non-finite; the
+        fixed tracks (MocapClip.qvel_fd) keep all 15 clips finite.  Runs
+        as vmapped lanes of the multi-clip env — one compile, lane-local
+        NaNs (the round-5 production trainer, tools/imitation15_vmapped.py,
+        is this at scale)."""
+        import dataclasses
+
+        from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
+        from deepmimic_mujoco_tpu.envs.multi_clip import DPEnvV3Multi
+        from deepmimic_mujoco_tpu.mocap.registry import available_clips
+        from deepmimic_mujoco_tpu.models import MlpPolicy
+        from deepmimic_mujoco_tpu.physics.humanoid import mocap_hinge_range
+
+        clips = tuple(sorted(c.replace("humanoid3d_", "")
+                             for c in available_clips()))
+        env = DPEnvV3Multi(
+            clips=clips, model=mocap_hinge_range(),
+            control_mode="pd_residual", n_substeps=2, max_episode_steps=50,
+            reward_mode="imitation_dm", obs_mode="full",
+            termination="fall_contact")
+        policy = MlpPolicy(ob_dim=env.observation_size,
+                           ac_dim=env.action_size, hidden_sizes=(32,),
+                           fixed_logstd=-3.0)
+        cfg = TRPOConfig(horizon=8, num_envs=2, g_step=1, cg_iters=3,
+                         vf_iters=1, vf_batch_size=4,
+                         reset_mode="rsi_pinned")
+        learner = TRPO(env, policy, cfg)
+
+        L, E = len(clips), cfg.num_envs
+        lane_states = []
+        for k in range(L):
+            st = learner.init(jax.random.fold_in(jax.random.PRNGKey(0), k))
+            ekeys = jax.random.split(jax.random.PRNGKey(100 + k), E)
+            es = jax.vmap(lambda kk: env.reset_at(kk, k, 0))(ekeys)
+            lane_states.append(dataclasses.replace(st, env_state=es))
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *lane_states)
+
+        states, stats = jax.jit(jax.vmap(learner.iteration))(states)
+        kl = np.asarray(stats.meankl)
+        assert np.isfinite(kl).all(), (
+            f"non-finite meankl lanes: "
+            f"{[clips[i] for i in np.where(~np.isfinite(kl))[0]]}")
+        flat = jax.flatten_util.ravel_pytree(states.params)[0]
+        assert bool(jnp.isfinite(flat).all())

@@ -5,6 +5,7 @@ import os
 import numpy as np
 import pytest
 
+
 from .conftest import REFERENCE_DIR, requires_reference
 
 CHAR = os.path.join(REFERENCE_DIR, "src/data/characters/humanoid3d.txt")

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
+
 from deepmimic_mujoco_tpu.envs.deepmimic_api import (
     ACTION_SIZE,
     STATE_SIZE,

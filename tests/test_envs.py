@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
+
 import jax
 import jax.numpy as jnp
 
@@ -296,6 +298,7 @@ class TestPDControlAndImitation:
             s = step(s, jnp.zeros(28))
         assert bool(s.done)
 
+    @pytest.mark.slow
     def test_rsi_reset_mode_in_trpo(self):
         """reset_mode='rsi' runs and the post-done states differ from the
         standing pose (mocap frames)."""
@@ -354,6 +357,7 @@ class TestPDControlAndImitation:
         if env.clip.loop == "none":
             np.testing.assert_allclose(np.asarray(env.cycle_offset), 0.0)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("env_cls", [DPEnvV1, DPEnvV2])
     def test_trpo_trains_v1_v2(self, env_cls):
         """v1/v2 lack a noise reset (so does the reference's — trpo.py:79 is
@@ -407,6 +411,7 @@ class TestMultiClip:
         s = step(s, jnp.zeros(28))
         assert bool(s.done)
 
+    @pytest.mark.slow
     def test_trains_with_trpo(self, env):
         from deepmimic_mujoco_tpu.algos.trpo import TRPO, TRPOConfig
         from deepmimic_mujoco_tpu.models import MlpPolicy

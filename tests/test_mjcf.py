@@ -4,6 +4,7 @@ programmatic humanoid."""
 import numpy as np
 import pytest
 
+
 import jax.numpy as jnp
 
 from deepmimic_mujoco_tpu.physics import build_humanoid
@@ -99,6 +100,7 @@ class TestMJCFRoundTrip:
             parse_mjcf(xml)
 
 
+@pytest.mark.fast
 class TestMJCFReviewFixes:
     def test_root_quat_into_qpos0(self):
         from deepmimic_mujoco_tpu.physics.mjcf import parse_mjcf

@@ -7,6 +7,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
 from scipy.spatial.transform import Rotation as R
 
 from deepmimic_mujoco_tpu.mocap import _quat_np as qnp

@@ -5,6 +5,8 @@ policy shapes/init."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
+
 import jax
 import jax.numpy as jnp
 

@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
+
 _WORKER = r"""
 import sys
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
+
 from deepmimic_mujoco_tpu.mocap import native
 from deepmimic_mujoco_tpu.mocap.loader import convert_frames
 from deepmimic_mujoco_tpu.mocap.registry import SKILLS, get_clip

@@ -8,6 +8,8 @@ reference-parity requirement — against golden formulas verified offline vs
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast  # core-invariant tier (see pyproject markers)
 from scipy.spatial.transform import Rotation as R
 
 import jax
