@@ -277,6 +277,106 @@ def to_mjcf(model: PhysicsModel | None = None, timestep: float = 0.0166,
     return "\n".join(lines)
 
 
+def to_mjcf_v1_ball(timestep: float = 0.002) -> str:
+    """Emit the BALL-JOINT v1 variant of the humanoid as MJCF — the same
+    bodies/geoms/gears as :func:`to_mjcf`, with every 3-DOF hinge stack
+    expressed as a MuJoCo ``ball`` joint and per-axis motors, in the v1
+    parameterization (dt 0.002, armature 0.02, damping 5 — reference
+    asset/dp_env_v1.xml:4,9).  This is the asset counterpart of upstream's
+    dp_env_v1 model (SURVEY §2.5): our JAX engine is hinge-native (the
+    substitution is measured FK-identical with PD-reward delta <= 0.058 —
+    tools/ball_vs_hinge_study.py), but the ball-joint variant runs under
+    host MuJoCo (physics/mj_host.py) for v1-parity studies and rendering.
+
+    Ball-joint ranges are total-rotation-angle cone limits; we take the
+    max per-axis magnitude of the hinge ranges (a superset: the cone
+    cannot express per-axis asymmetry)."""
+    lines = [
+        '<mujoco model="humanoid_tpu_v1_ball">',
+        '  <compiler angle="radian" inertiafromgeom="true"/>',
+        '  <default>',
+        '    <joint limited="true" armature="0.02" damping="5"/>',
+        '    <geom conaffinity="1" condim="1" contype="1" margin="0.001"/>',
+        '    <motor ctrllimited="true" ctrlrange="-0.5 0.5"/>',
+        '  </default>',
+        f'  <option integrator="RK4" iterations="50" solver="PGS" '
+        f'timestep="{timestep}"/>',
+        '  <worldbody>',
+        '    <geom condim="3" friction="1 .1 .1" name="floor" pos="0 0 0" '
+        'size="50 50 0.2" type="plane"/>',
+    ]
+    children: dict[str, list[str]] = {}
+    for name, parent, pos in _BODIES:
+        children.setdefault(parent, []).append(name)
+    body_pos = {n: p for n, _, p in _BODIES}
+
+    def fmt(v):
+        return " ".join(repr(round(float(x), 9)) for x in v)
+
+    def emit_body(name: str, indent: str):
+        lines.append(f'{indent}<body name="{name}" pos="{fmt(body_pos[name])}">')
+        if name == "root":
+            lines.append(
+                f'{indent}  <joint armature="0" damping="0" limited="false" '
+                f'name="root" pos="0 0 0" stiffness="0" type="free"/>')
+        elif name in _SPHERICAL:
+            cone = max(abs(b) for rng in _SPHERICAL[name] for b in rng)
+            lines.append(
+                f'{indent}  <joint name="{name}" pos="0 0 0" '
+                f'range="0 {round(cone, 6)}" type="ball"/>')
+        else:
+            rng = _REVOLUTE[name]
+            lines.append(
+                f'{indent}  <joint name="{name}" axis="0 -1 0" pos="0 0 0" '
+                f'range="{rng[0]} {rng[1]}" type="hinge"/>')
+        for g_name, g_body, g_type, g_mass, spec in _GEOMS:
+            if g_body != name:
+                continue
+            if "fromto" in spec:
+                lines.append(
+                    f'{indent}  <geom name="{g_name}" type="capsule" '
+                    f'mass="{g_mass}" size="{spec["size"][0]}" '
+                    f'fromto="{fmt(spec["fromto"])}"/>')
+            else:
+                tname = {SPHERE: "sphere", BOX: "box"}[g_type]
+                size = spec["size"] if g_type == BOX else spec["size"][:1]
+                lines.append(
+                    f'{indent}  <geom name="{g_name}" type="{tname}" '
+                    f'mass="{g_mass}" pos="{fmt(spec["pos"])}" '
+                    f'size="{fmt(size)}"/>')
+        for child in children.get(name, []):
+            emit_body(child, indent + "  ")
+        lines.append(f"{indent}</body>")
+
+    emit_body("root", "    ")
+    lines.append("  </worldbody>")
+    lines.append("  <contact>")
+    for b1, b2 in [
+        ("right_hip", "root"), ("left_hip", "root"),
+        ("right_hip", "right_knee"), ("left_hip", "left_knee"),
+        ("right_knee", "right_ankle"), ("left_knee", "left_ankle"),
+        ("right_elbow", "right_shoulder"), ("left_elbow", "left_shoulder"),
+    ]:
+        lines.append(f'    <exclude body1="{b1}" body2="{b2}"/>')
+    lines.append("  </contact>")
+    lines.append("  <actuator>")
+    for joint in _JOINT_ORDER:
+        if joint in _SPHERICAL:
+            for k, axis_name in enumerate("xyz"):
+                gear = [0, 0, 0]
+                gear[k] = _GEARS[joint]
+                lines.append(
+                    f'    <motor gear="{gear[0]} {gear[1]} {gear[2]}" '
+                    f'joint="{joint}" name="{joint}_{axis_name}"/>')
+        else:
+            lines.append(
+                f'    <motor gear="{_GEARS[joint]}" joint="{joint}" '
+                f'name="{joint}"/>')
+    lines.append("  </actuator>")
+    lines.append("</mujoco>")
+    return "\n".join(lines)
+
+
 def mocap_hinge_range(model: PhysicsModel | None = None,
                       clips=None, margin: float = 0.1) -> PhysicsModel:
     """Widen the hinge limit ranges to the union of the bundled mocap

@@ -129,3 +129,65 @@ class TestMJCFReviewFixes:
           </body></worldbody></mujoco>"""
         with pytest.raises(ValueError, match="non-origin pos"):
             parse_mjcf(xml)
+
+
+@pytest.mark.fast
+class TestV1BallVariant:
+    """Ball-joint v1 model variant (SURVEY §2.5; reference
+    asset/dp_env_v1.xml): same bodies/geoms/gears as the hinge model,
+    3-DOF joints as MuJoCo balls, v1 option block."""
+
+    def test_compiles_with_v1_layout(self):
+        import mujoco
+
+        from deepmimic_mujoco_tpu.physics.humanoid import to_mjcf_v1_ball
+
+        m = mujoco.MjModel.from_xml_string(to_mjcf_v1_ball())
+        assert (m.nq, m.nv, m.nu) == (43, 34, 28)  # = reference dp_env_v1
+        assert m.opt.timestep == pytest.approx(0.002)
+        # 8 ball + 4 hinge + free root, like the reference v1 model
+        import collections
+        kinds = collections.Counter(int(t) for t in m.jnt_type)
+        assert kinds[int(mujoco.mjtJoint.mjJNT_BALL)] == 8
+        assert kinds[int(mujoco.mjtJoint.mjJNT_HINGE)] == 4
+        assert kinds[int(mujoco.mjtJoint.mjJNT_FREE)] == 1
+
+    def test_fk_matches_hinge_model(self):
+        """Mapping euler triples -> ball quats gives identical body FK."""
+        import mujoco
+        import numpy as np
+
+        from deepmimic_mujoco_tpu.mocap.registry import get_clip
+        from deepmimic_mujoco_tpu.physics.humanoid import (
+            to_mjcf, to_mjcf_v1_ball)
+
+        mh = mujoco.MjModel.from_xml_string(to_mjcf())
+        mb = mujoco.MjModel.from_xml_string(to_mjcf_v1_ball())
+        dh, db = mujoco.MjData(mh), mujoco.MjData(mb)
+        clip = get_clip("walk")
+        for fi in (0, 10, 25):
+            frame = np.asarray(clip.qpos[fi], float)
+            dh.qpos[:] = frame
+            # ball layout: root 7, then per-joint quat/hinge in same order
+            qb = [frame[:7]]
+            off = 7
+            for j in range(1, mb.njnt):
+                if mb.jnt_type[j] == mujoco.mjtJoint.mjJNT_BALL:
+                    e = frame[off:off + 3]
+                    q = np.zeros(4)
+                    for ang, ax in zip(e, np.eye(3)):
+                        r = np.concatenate([[np.cos(ang / 2)],
+                                            np.sin(ang / 2) * ax])
+                        q2 = np.zeros(4)
+                        mujoco.mju_mulQuat(q2, q if np.any(q) else
+                                           np.array([1.0, 0, 0, 0]), r)
+                        q = q2
+                    qb.append(q)
+                    off += 3
+                else:
+                    qb.append(frame[off:off + 1])
+                    off += 1
+            db.qpos[:] = np.concatenate(qb)
+            mujoco.mj_kinematics(mh, dh)
+            mujoco.mj_kinematics(mb, db)
+            np.testing.assert_allclose(dh.xpos, db.xpos, atol=1e-9)
