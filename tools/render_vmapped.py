@@ -14,6 +14,8 @@ import dataclasses
 import os
 import sys
 
+os.environ.setdefault("MUJOCO_GL", "egl")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
